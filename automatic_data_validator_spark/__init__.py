@@ -1,0 +1,24 @@
+"""automatic_data_validator_spark — a from-scratch PySpark-native
+schema + constraint validation engine.
+
+Re-expresses the *capabilities* of the reference pandas app
+(cosmoavijeet07/automatic-data-validator) — schema detection, column
+profiling, constraint/quality checks, dedup, correction, pipeline
+emission — as lazy, partition-parallel Spark DataFrame plans over
+tables of interleaved text+media documents
+(``doc_id:string, spans:array<struct<kind,text,media_ref,offset>>``).
+
+Design principles (see SURVEY.md §4.2):
+  * one fused single-pass aggregation for all column profiles;
+  * constraint predicates compile to Spark SQL expressions (no
+    per-row Python anywhere; Python hooks are Arrow-vectorized);
+  * explicit skew handling (salted two-phase dedup) for hot doc_id
+    prefixes;
+  * broadcast vs sort-merge referential joins, chosen by size;
+  * per-partition verdicts + violation rows + lineage, resumable
+    from parquet checkpoints.
+"""
+
+__version__ = "0.1.0"
+
+from . import config  # noqa: F401

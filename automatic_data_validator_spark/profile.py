@@ -1,0 +1,278 @@
+"""Single-pass column profiler.
+
+The reference profiles with O(columns) eager pandas passes
+(schema_manager.py:21-73 + data_analyzer.py:45-477, ≈6 scans per
+column). Here every per-column statistic is one expression inside ONE
+``df.agg(*exprs)`` — Catalyst runs it as a single whole-stage-codegen
+hash aggregate (partial per partition + final), so profiling cost is
+one table scan regardless of column count. The collected result is a
+single tiny row; the long-format ``metrics`` DataFrame is assembled
+from it driver-side (no cluster work).
+
+Statistic semantics mirror the reference:
+  null count/pct          schema_manager.py:43-44
+  distinct count/pct      schema_manager.py:45-46 (HLL++ at scale)
+  min/max/mean/std/median schema_manager.py:125-143, data_analyzer.py:346
+  quartiles (IQR)         data_analyzer.py:249-253
+  skewness/kurtosis       data_analyzer.py:351-354
+  text length/char-class  data_analyzer.py:390-422
+  numeric/datetime-convertibility  schema_manager.py:112-121, data_analyzer.py:184-195
+  categorical detection   schema_manager.py:50-54 (threshold config.py:43)
+  quality score           data_analyzer.py:457-477
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import config
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_TEMPORAL = (T.DateType, T.TimestampType)
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC)
+
+
+def _cnt(cond) -> Any:
+    """Count rows satisfying a boolean Column (null-safe: null => 0)."""
+    return F.sum(F.coalesce(cond.cast("long"), F.lit(0)))
+
+
+def build_profile_exprs(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    detect_formats: bool = True,
+) -> tuple[list[Any], list[tuple[str, str]]]:
+    """Build the fused aggregation expression list.
+
+    Returns (exprs, keys) where keys[i] = (column, metric) for exprs[i].
+    The first expr is the table row count keyed ("", "row_count").
+    """
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    exprs: list[Any] = [F.count(F.lit(1)).alias("m0")]
+    keys: list[tuple[str, str]] = [("", "row_count")]
+
+    def add(col: str, metric: str, expr) -> None:
+        exprs.append(expr.alias(f"m{len(exprs)}"))
+        keys.append((col, metric))
+
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+    for c in cols:
+        dt = schema[c]
+        col = F.col(c)
+        add(c, "non_null_count", F.count(col))
+        add(c, "distinct_count", distinct_fn(col))
+        if _is_numeric(dt):
+            d = col.cast("double")
+            add(c, "min", F.min(d))
+            add(c, "max", F.max(d))
+            add(c, "mean", F.avg(d))
+            add(c, "std", F.stddev_samp(d))
+            add(c, "skewness", F.skewness(d))
+            add(c, "kurtosis", F.kurtosis(d))
+            add(c, "q1", F.percentile_approx(d, 0.25, config.PERCENTILE_ACCURACY))
+            add(c, "median", F.percentile_approx(d, 0.5, config.PERCENTILE_ACCURACY))
+            add(c, "q3", F.percentile_approx(d, 0.75, config.PERCENTILE_ACCURACY))
+            add(c, "zero_count", _cnt(d == 0.0))
+            add(c, "negative_count", _cnt(d < 0.0))
+            # is_integer_like (reference schema_manager.py:138)
+            add(c, "integer_like_count", _cnt(d == F.floor(d).cast("double")))
+        elif isinstance(dt, T.StringType):
+            ln = F.length(col)
+            add(c, "len_min", F.min(ln))
+            add(c, "len_max", F.max(ln))
+            add(c, "len_mean", F.avg(ln))
+            add(c, "empty_count", _cnt(col == ""))
+            add(c, "has_digit_count", _cnt(col.rlike(r"\d")))
+            add(c, "has_special_count", _cnt(col.rlike(r"[^A-Za-z0-9\s]")))
+            add(c, "all_upper_count", _cnt((F.upper(col) == col) & col.rlike("[A-Za-z]")))
+            add(c, "all_lower_count", _cnt((F.lower(col) == col) & col.rlike("[A-Za-z]")))
+            # convertibility: try_cast yields null on failure == errors='coerce'
+            add(c, "numeric_conv_count", _cnt(col.isNotNull() & col.try_cast("double").isNotNull()))
+            add(c, "datetime_conv_count", _cnt(col.isNotNull() & F.try_to_timestamp(col).isNotNull()))
+            if detect_formats:
+                for fmt in config.DATE_FORMATS:
+                    add(
+                        c,
+                        f"datefmt_count:{fmt}",
+                        _cnt(col.isNotNull() & F.try_to_timestamp(col, F.lit(fmt)).isNotNull()),
+                    )
+        elif isinstance(dt, T.BooleanType):
+            add(c, "true_count", _cnt(col))
+        elif isinstance(dt, _TEMPORAL):
+            d = col.cast("timestamp").cast("double")
+            add(c, "min_epoch", F.min(d))
+            add(c, "max_epoch", F.max(d))
+        elif isinstance(dt, T.ArrayType):
+            sz = F.size(col)
+            add(c, "arr_len_min", F.min(sz))
+            add(c, "arr_len_max", F.max(sz))
+            add(c, "arr_len_mean", F.avg(sz))
+            add(c, "arr_total_elems", F.sum(sz.cast("long")))
+    return exprs, keys
+
+
+@dataclass
+class ProfileResult:
+    row_count: int
+    stats: dict[str, dict[str, float | None]]  # column -> metric -> value
+    column_types: dict[str, str]
+    suggestions: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def metrics_rows(self) -> list[tuple[str, str, float | None]]:
+        out: list[tuple[str, str, float | None]] = [("", "row_count", float(self.row_count))]
+        for c, ms in self.stats.items():
+            for m, v in ms.items():
+                out.append((c, m, None if v is None else float(v)))
+        return out
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField("column", T.StringType(), False),
+                T.StructField("metric", T.StringType(), False),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        return spark.createDataFrame(self.metrics_rows(), schema)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    detect_formats: bool = True,
+) -> ProfileResult:
+    """Profile all columns in one aggregation pass."""
+    exprs, keys = build_profile_exprs(df, columns, exact_distinct, detect_formats)
+    row = df.agg(*exprs).collect()[0]
+    values = list(row)
+    row_count = int(values[0])
+    stats: dict[str, dict[str, float | None]] = {}
+    for (c, m), v in zip(keys[1:], values[1:]):
+        stats.setdefault(c, {})[m] = None if v is None else float(v)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    result = ProfileResult(row_count=row_count, stats=stats, column_types=types)
+    result.suggestions = _suggest(result)
+    return result
+
+
+def _suggest(p: ProfileResult) -> dict[str, dict[str, Any]]:
+    """Schema suggestions from profile stats.
+
+    Mirrors reference suggestion logic: numeric-convertibility > 0.8 =>
+    numeric (schema_manager.py:112-121); datetime ratio > 0.8 with the
+    first matching format in config order (schema_manager.py:75-102);
+    unique/total < 0.05 => categorical (schema_manager.py:50-54);
+    integer-like floats => bigint.
+    """
+    out: dict[str, dict[str, Any]] = {}
+    n = max(p.row_count, 1)
+    for c, st in p.stats.items():
+        sug: dict[str, Any] = {}
+        non_null = st.get("non_null_count") or 0.0
+        nn = max(non_null, 1.0)
+        sug["null_count"] = n - int(non_null)
+        sug["null_percentage"] = 100.0 * (n - non_null) / n
+        distinct = st.get("distinct_count") or 0.0
+        sug["unique_count"] = int(distinct)
+        sug["unique_percentage"] = 100.0 * distinct / n
+        sug["is_categorical"] = bool(
+            non_null > 0 and distinct / nn < config.CATEGORICAL_THRESHOLD
+        )
+        dtype = p.column_types.get(c, "")
+        sug["dtype"] = dtype
+        suggested = dtype
+        if dtype == "string" and non_null > 0:
+            if (st.get("numeric_conv_count") or 0) / nn > config.NUMERIC_CONVERT_THRESHOLD:
+                int_like = True  # refined below only when numeric
+                suggested = "double"
+            else:
+                fmt_found = None
+                for fmt in config.DATE_FORMATS:
+                    cnt = st.get(f"datefmt_count:{fmt}")
+                    if cnt is not None and cnt / nn > config.DATETIME_CONVERT_THRESHOLD:
+                        fmt_found = fmt
+                        break
+                if fmt_found:
+                    suggested = "timestamp"
+                    sug["date_format"] = fmt_found
+                elif sug["is_categorical"]:
+                    suggested = "string"  # categorical flag carried separately
+        elif dtype in ("double", "float") and non_null > 0:
+            if (st.get("integer_like_count") or 0) == non_null:
+                suggested = "bigint"
+        sug["suggested_dtype"] = suggested
+        out[c] = sug
+    return out
+
+
+def quality_report(
+    df: DataFrame,
+    p: ProfileResult | None = None,
+    key_columns: list[str] | None = None,
+) -> dict[str, Any]:
+    """Assemble the reference's quality-report dict (data_analyzer.py:55-66)
+    from the single-pass profile plus one duplicate-count job.
+
+    Duplicate counting hashes whole rows JVM-side (xxhash64 over all
+    columns) and compares count vs distinct-hash count — one shuffle-free
+    scan + partial-aggregated distinct, instead of pandas `duplicated()`.
+    """
+    if p is None:
+        p = profile(df)
+    n = p.row_count
+    dup_count = int(
+        df.agg(
+            (F.count(F.lit(1)) - F.approx_count_distinct(F.xxhash64(*df.columns), 0.005)).alias("d")
+        ).collect()[0][0]
+    )
+    dup_count = max(dup_count, 0)
+    total_cells = n * len(df.columns) or 1
+    total_missing = sum(s["null_count"] for s in p.suggestions.values())
+    missing_pct = 100.0 * total_missing / total_cells
+    dup_pct = 100.0 * dup_count / max(n, 1)
+    # outlier share via IQR bounds from the profile (data_analyzer.py:236-277)
+    outlier_pct = 0.0
+    numeric_cols = [
+        c for c, st in p.stats.items() if "q1" in st and st.get("q1") is not None
+    ]
+    if numeric_cols:
+        conds = []
+        for c in numeric_cols:
+            st = p.stats[c]
+            iqr = (st["q3"] or 0) - (st["q1"] or 0)
+            lo, hi = (st["q1"] or 0) - 1.5 * iqr, (st["q3"] or 0) + 1.5 * iqr
+            conds.append(
+                F.coalesce(
+                    ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("long"), F.lit(0)
+                )
+            )
+        row = df.agg(*[F.sum(x).alias(f"o{i}") for i, x in enumerate(conds)]).collect()[0]
+        total_outliers = sum(int(v or 0) for v in row)
+        outlier_pct = 100.0 * total_outliers / max(n * len(numeric_cols), 1)
+    # quality score — formula byte-identical to data_analyzer.py:457-477
+    score = 100.0
+    score -= min(missing_pct * 0.3, config.QUALITY_WEIGHTS["missing"])
+    score -= min(dup_pct * 0.2, config.QUALITY_WEIGHTS["duplicates"])
+    score -= min(outlier_pct * 0.2, config.QUALITY_WEIGHTS["outliers"])
+    score = max(score, 0.0)
+    return {
+        "basic_info": {"rows": n, "columns": len(df.columns)},
+        "missing_values": {"total_missing": total_missing, "missing_percentage": missing_pct},
+        "duplicates": {"duplicate_count": dup_count, "duplicate_percentage": dup_pct},
+        "outliers": {"outlier_percentage": outlier_pct},
+        "quality_score": round(score, 2),
+    }

@@ -1,0 +1,245 @@
+"""Constraint rules: a small declarative DSL compiled to Spark SQL
+expressions, evaluated in one shuffle-aware pass.
+
+Replaces the reference's LLM-generated pandas code + exec() sandbox
+(data_corrector.py:325-367 AST allowlist, 385-521 exec env) with rules
+as data: each rule compiles to a Catalyst expression, and free-form
+``expr`` rules pass an identifier allowlist check (the port of the
+reference's AST walk — arbitrary Python never runs per-row).
+
+Execution model (north_rule: "one shuffle-aware pass ... per-partition
+pass/fail verdicts and violation rows"):
+
+  * All row-level rules are evaluated in a single table scan that
+    hash-aggregates per ``spark_partition_id()`` — no shuffle beyond
+    the tiny final combine (one row per partition).
+  * Violation rows come from a second filtered scan; violations are
+    sparse, so Catalyst pushes the disjunction of failure predicates
+    into the parquet reader where possible. (Two map-only scans beat
+    caching a 10^12-row flags table.)
+  * ``unique`` and ``referential`` rules need a shuffle by design;
+    they delegate to dedup.py / refcheck.py and their verdicts are
+    unioned in with the same schema.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("rule_id", T.StringType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("violation_count", T.LongType(), False),
+        T.StructField("pass", T.BooleanType(), False),
+    ]
+)
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("rule_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("detail", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class Rule:
+    """One declarative constraint.
+
+    kind:
+      not_null | expr | range | regex | in_set | unique_key |
+      span_order | span_shape | referential
+    ``expr`` rules: SQL boolean expression where TRUE means PASS.
+    """
+
+    rule_id: str
+    kind: str
+    column: str | None = None
+    expr: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+# --- expression safety (port of reference data_corrector.py:325-367) -----
+_ALLOWED_FUNCTIONS = {
+    # comparison / logic handled by grammar; these are callables
+    "abs", "coalesce", "concat", "length", "lower", "upper", "trim",
+    "ltrim", "rtrim", "substring", "substr", "instr", "regexp_like",
+    "rlike", "like", "round", "floor", "ceil", "ceiling", "sqrt", "exp",
+    "ln", "log", "log10", "pow", "power", "greatest", "least", "size",
+    "cardinality", "element_at", "array_contains", "arrays_overlap",
+    "filter", "exists", "forall", "transform", "aggregate", "reduce",
+    "struct", "named_struct", "to_json", "from_json", "get_json_object",
+    "split", "regexp_extract", "regexp_replace", "isnull", "isnotnull",
+    "nullif", "nvl", "if", "ifnull", "case", "when", "then", "else",
+    "end", "cast", "try_cast", "date", "to_date", "to_timestamp",
+    "try_to_timestamp", "year", "month", "day", "hour", "minute",
+    "second", "datediff", "date_add", "date_sub", "current_date",
+    "initcap", "translate", "format_string", "xxhash64", "hash", "md5",
+    "sha2", "crc32", "char_length", "position", "left", "right",
+    "array", "array_join", "array_min", "array_max", "array_distinct",
+    "array_position", "slice", "sort_array", "zip_with", "map_keys",
+    "map_values", "sentences", "sequence",
+}
+_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "true", "false", "between",
+    "like", "rlike", "distinct", "as", "int", "bigint", "double",
+    "float", "string", "boolean", "timestamp", "date", "decimal",
+    "array", "map", "x",  # `x`/`acc` lambda vars
+    "acc",
+}
+_BLOCKED = re.compile(
+    r"(?i)\b(select|insert|update|delete|drop|create|alter|exec|java_method|"
+    r"reflect|shell|system|load|overwrite|grant|truncate)\b"
+)
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def validate_sql_expr(expr: str, allowed_columns: list[str]) -> None:
+    """Reject expressions referencing anything outside the allowlist.
+
+    Mirrors the intent of the reference's AST safety walk
+    (data_corrector.py:325-367): only known columns, whitelisted
+    functions, and SQL keywords may appear.
+    """
+    if _BLOCKED.search(expr):
+        raise ValueError(f"blocked keyword in rule expression: {expr!r}")
+    # strip string literals so their contents aren't treated as identifiers
+    stripped = re.sub(r"'[^']*'", "''", expr)
+    cols = {c.lower() for c in allowed_columns}
+    # struct field access a.b.c: validate only the head
+    for token in _IDENT.findall(re.sub(r"\.\w+", "", stripped)):
+        t = token.lower()
+        if t in _KEYWORDS or t in _ALLOWED_FUNCTIONS or t in cols:
+            continue
+        raise ValueError(f"identifier {token!r} not allowed in rule expression")
+
+
+# --- compilation -----------------------------------------------------------
+SPAN_ORDER_EXPR = (
+    "aggregate(spans, struct(true as ok, cast(-1 as int) as prev), "
+    "(acc, x) -> struct(acc.ok and x.offset > acc.prev, x.offset), "
+    "acc -> acc.ok)"
+)
+# span shape: text spans carry text and no media_ref; media spans the reverse
+SPAN_SHAPE_EXPR = (
+    "forall(spans, x -> (x.kind = 'text' and x.text is not null and "
+    "x.media_ref is null) or (x.kind <> 'text' and x.media_ref is not null "
+    "and x.text is null))"
+)
+
+
+def compile_rule(rule: Rule, df: DataFrame) -> Column:
+    """Compile a row-level rule to a boolean Column (TRUE = row passes)."""
+    c = F.col(rule.column) if rule.column else None
+    if rule.kind == "not_null":
+        return c.isNotNull()
+    if rule.kind == "range":
+        lo = rule.params.get("min")
+        hi = rule.params.get("max")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c <= F.lit(hi))
+        return F.when(c.isNull(), F.lit(True)).otherwise(cond)
+    if rule.kind == "regex":
+        return F.when(c.isNull(), F.lit(True)).otherwise(c.rlike(rule.params["pattern"]))
+    if rule.kind == "in_set":
+        return F.when(c.isNull(), F.lit(True)).otherwise(
+            c.isin(*rule.params["values"])
+        )
+    if rule.kind == "span_order":
+        col = rule.column or "spans"
+        return F.expr(SPAN_ORDER_EXPR.replace("spans", col))
+    if rule.kind == "span_shape":
+        col = rule.column or "spans"
+        return F.expr(SPAN_SHAPE_EXPR.replace("spans", col))
+    if rule.kind == "expr":
+        validate_sql_expr(rule.expr, df.columns)
+        return F.expr(rule.expr)
+    raise ValueError(f"rule kind {rule.kind!r} is not row-level compilable")
+
+
+def row_level(rules: list[Rule]) -> list[Rule]:
+    return [r for r in rules if r.kind not in ("unique_key", "referential")]
+
+
+def evaluate_row_rules(
+    df: DataFrame,
+    rules: list[Rule],
+    key_column: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Evaluate all row-level rules; return (verdicts, violations).
+
+    verdicts: one row per (input partition, rule) — from a single
+    aggregate scan grouped by ``spark_partition_id()``.
+    violations: (doc_id, rule_id, partition_id, detail) rows — from a
+    second filtered scan; TRUE-pass rows never leave the executors.
+    """
+    rr = row_level(rules)
+    if not rr:
+        raise ValueError("no row-level rules to evaluate")
+    preds = [(r.rule_id, compile_rule(r, df)) for r in rr]
+    # pass 1: per-partition counts, single hash aggregate
+    per_part = (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            *[
+                F.sum(F.coalesce((~p).cast("long"), F.lit(1))).alias(f"viol_{i}")
+                for i, (_rid, p) in enumerate(preds)
+            ],
+        )
+    )
+    stack_parts = ", ".join(
+        f"'{rid}', viol_{i}" for i, (rid, _p) in enumerate(preds)
+    )
+    verdicts = per_part.select(
+        F.col("partition_id").cast("int"),
+        F.expr(f"stack({len(preds)}, {stack_parts}) as (rule_id, violation_count)"),
+        F.col("row_count"),
+    ).select(
+        "partition_id",
+        "rule_id",
+        F.col("row_count").cast("long"),
+        F.col("violation_count").cast("long"),
+        (F.col("violation_count") == 0).alias("pass"),
+    )
+
+    # pass 2: violation rows (sparse filter scan)
+    fail_struct = F.array(
+        *[
+            F.when(
+                F.coalesce(p, F.lit(False)) == F.lit(False), F.lit(rid)
+            ).otherwise(F.lit(None))
+            for rid, p in preds
+        ]
+    )
+    violations = (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .select(
+            F.col(key_column).cast("string").alias("doc_id"),
+            F.col("partition_id").cast("int"),
+            F.filter(fail_struct, lambda x: x.isNotNull()).alias("failed"),
+        )
+        .filter(F.size("failed") > 0)
+        .select(
+            "doc_id",
+            F.explode("failed").alias("rule_id"),
+            "partition_id",
+            F.lit(None).cast("string").alias("detail"),
+        )
+        .select("doc_id", "rule_id", "partition_id", "detail")
+    )
+    return verdicts, violations

@@ -1,0 +1,105 @@
+"""Checkpoint / resume / lineage.
+
+Mirrors the reference's session checkpointing semantics
+(session_manager.py:26-139: save state dict + pickled DataFrame,
+resume-after-crash) re-expressed for Spark: each validation phase
+writes its outputs as parquet under the checkpoint dir and records
+completion in ``_state.json`` (snapshot_id, rule_version, completed
+phases). A restarted run skips completed phases and reads their
+outputs back — per north_rule "resumable from snapshot checkpoints
+with per-partition lineage".
+
+Lineage rows (mirror of logger.py:190-205 before/after operation
+records): one row per (phase, partition) carrying
+(phase, partition_id, snapshot_id, rule_version, ts, op, row_count,
+violation_count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("phase", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("snapshot_id", T.StringType(), True),
+        T.StructField("rule_version", T.StringType(), True),
+        T.StructField("ts", T.DoubleType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("violation_count", T.LongType(), True),
+    ]
+)
+
+
+@dataclass
+class Checkpointer:
+    root: str
+    snapshot_id: str = "snap-0"
+    rule_version: str = "v1"
+
+    def _state_path(self) -> str:
+        return os.path.join(self.root, "_state.json")
+
+    def _load(self) -> dict:
+        try:
+            with open(self._state_path()) as f:
+                state = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"completed": [], "snapshot_id": self.snapshot_id,
+                    "rule_version": self.rule_version}
+        # a checkpoint from a different snapshot or rule version is stale
+        if (
+            state.get("snapshot_id") != self.snapshot_id
+            or state.get("rule_version") != self.rule_version
+        ):
+            return {"completed": [], "snapshot_id": self.snapshot_id,
+                    "rule_version": self.rule_version}
+        return state
+
+    def is_done(self, phase: str) -> bool:
+        return phase in self._load()["completed"]
+
+    def phase_dir(self, phase: str, artifact: str) -> str:
+        return os.path.join(self.root, phase, artifact)
+
+    def write(self, phase: str, artifact: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.phase_dir(phase, artifact))
+
+    def read(self, spark: SparkSession, phase: str, artifact: str) -> DataFrame:
+        return spark.read.parquet(self.phase_dir(phase, artifact))
+
+    def mark_done(self, phase: str) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        state = self._load()
+        if phase not in state["completed"]:
+            state["completed"].append(phase)
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2)
+        os.replace(tmp, self._state_path())
+
+
+def lineage_from_verdicts(
+    spark: SparkSession,
+    verdicts: list[tuple],
+    phase: str,
+    snapshot_id: str,
+    rule_version: str,
+) -> DataFrame:
+    """Build lineage rows from collected verdict tuples
+    (partition_id, rule_id, row_count, violation_count, pass)."""
+    now = time.time()
+    rows = [
+        (phase, int(v[0]), snapshot_id, rule_version, now, v[1], int(v[2]), int(v[3]))
+        for v in verdicts
+    ]
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)

@@ -1,0 +1,92 @@
+"""End-to-end validation slice: synth -> rules -> verdicts/violations,
+checked against a pandas oracle computed with the reference's
+semantics (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark import rules as R
+from automatic_data_validator_spark.validate import run_validation, canonical_violations
+
+
+def _pandas_oracle(docs_pdf: pd.DataFrame) -> dict[str, set]:
+    """Oracle violation doc_id sets computed row-at-a-time in pandas."""
+    bad_order: set[str] = set()
+    bad_shape: set[str] = set()
+    for _, row in docs_pdf.iterrows():
+        prev = -1
+        ok = True
+        for s in row["spans"]:
+            if s["offset"] <= prev:
+                ok = False
+            prev = s["offset"]
+            is_text = s["kind"] == "text"
+            shape_ok = (
+                (is_text and s["text"] is not None and s["media_ref"] is None)
+                or (not is_text and s["media_ref"] is not None and s["text"] is None)
+            )
+            if not shape_ok:
+                bad_shape.add(row["doc_id"])
+        if not ok:
+            bad_order.add(row["doc_id"])
+    dup = set(docs_pdf["doc_id"][docs_pdf["doc_id"].duplicated(keep=False)])
+    return {"span_order": bad_order, "span_shape": bad_shape, "unique_doc_id": dup}
+
+
+def test_e2e_validation_matches_pandas_oracle(spark, docs, catalog):
+    result = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    viol = result.violations.select("doc_id", "rule_id").distinct().collect()
+    got: dict[str, set] = {}
+    for r in viol:
+        got.setdefault(r["rule_id"], set()).add(r["doc_id"])
+
+    oracle = _pandas_oracle(docs.toPandas())
+    assert got.get("span_order", set()) == oracle["span_order"]
+    assert got.get("span_shape", set()) == oracle["span_shape"]
+    assert got.get("unique_doc_id", set()) == oracle["unique_doc_id"]
+    # synth guarantees violations exist at these rates
+    assert oracle["span_order"] and oracle["unique_doc_id"]
+
+    # referential: every violation detail must be a dangling ref
+    dang = result.violations.filter(F.col("rule_id") == "referential_media_ref")
+    cat_refs = {r["media_ref"] for r in catalog.select("media_ref").collect()}
+    details = [r["detail"] for r in dang.collect()]
+    assert details and all(d not in cat_refs for d in details)
+
+
+def test_verdict_counts_consistent(spark, docs, catalog):
+    result = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    v = result.verdicts.groupBy("rule_id").agg(
+        F.sum("violation_count").alias("n"), F.sum("row_count").alias("rows")
+    )
+    totals = {r["rule_id"]: (r["n"], r["rows"]) for r in v.collect()}
+    n_docs = docs.count()
+    for rid, (n, rows) in totals.items():
+        assert rows == n_docs, rid
+    # verdict violation totals equal violation rows per rule (one row
+    # per violating row occurrence)
+    viol = result.violations.groupBy("rule_id").count().collect()
+    for r in viol:
+        if r["rule_id"] == "referential_media_ref":
+            continue  # verdict counts distinct docs; violations one per (doc, ref)
+        assert totals[r["rule_id"]][0] == r["count"], r["rule_id"]
+
+
+def test_not_null_and_expr_rules(spark, docs):
+    rs = [
+        R.Rule("not_null_doc_id", "not_null", column="doc_id"),
+        R.Rule("spans_nonempty", "expr", expr="size(spans) > 0"),
+    ]
+    v, x = R.evaluate_row_rules(docs, rs)
+    assert x.count() == 0  # synth never emits null ids / empty spans
+    assert v.filter(~F.col("pass")).count() == 0
+
+
+def test_canonical_violations_deterministic(spark, docs, catalog):
+    r1 = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    r2 = run_validation(spark, docs.repartition(7), catalog=catalog, with_profile=False)
+    a = canonical_violations(r1.violations).select("doc_id", "rule_id", "detail").collect()
+    b = canonical_violations(r2.violations).select("doc_id", "rule_id", "detail").collect()
+    assert a == b  # partition-layout independent
