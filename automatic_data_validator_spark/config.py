@@ -55,11 +55,12 @@ TEXT_PATTERNS = {
 
 # encoding artifacts -> replacement (reference: text_processor.py:165-169,527-531)
 ENCODING_ARTIFACTS = {
-    "â€™": "'",
-    "â€œ": '"',
-    "â€": '"',
-    "â€“": "-",
-    "Â ": " ",
+    "\u00e2\u20ac\u2122": "'",      # mis-decoded right single quote
+    "\u00e2\u20ac\u0153": '"',      # mis-decoded left double quote
+    "\u00e2\u20ac\u009d": '"',      # mis-decoded right double quote
+    "\u00e2\u20ac\u201c": "-",      # mis-decoded en dash
+    "\u00c2\u00a0": " ",             # mis-decoded nbsp
+    "\u00e2\u20ac": '"',             # bare truncated artifact (fallback, last)
 }
 
 # small English stopword list for the language heuristic

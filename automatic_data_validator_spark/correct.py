@@ -1,0 +1,169 @@
+"""Deterministic correction pipeline.
+
+The reference's LLM-codegen path falls back to a deterministic cleaner
+(data_corrector.py:536-642) whose step order defines the canonical
+correction semantics: dedup -> drop-high-null-columns -> impute ->
+cap-outliers -> standardize-text -> cast. Here that pipeline is a
+*rule-driven plan builder*: stats come from one profile pass, then all
+steps append to a single lazy DataFrame plan executed in one action.
+Arbitrary generated code never runs (SURVEY.md §2.9 U1).
+
+Pinned byte-match semantics (SURVEY.md §7 hard parts):
+  * dedup keep-first = min by an explicit ordering column (pandas
+    keep='first' is positional; Spark has no stable row order, so the
+    caller provides the order key — doc_id by default);
+  * mode tie-break = smallest value (pandas mode() is sorted);
+  * impute median if null share < 30% else mean
+    (data_corrector.py:568-577);
+  * cap = clip to [Q1-1.5*IQR, Q3+1.5*IQR] (data_corrector.py:592-601);
+  * standardize = trim + initcap (data_corrector.py:607-610; divergence
+    from pandas str.title() on apostrophes is documented + tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import config
+from .profile import ProfileResult, profile
+
+
+@dataclass
+class CorrectionPlan:
+    """A serializable record of what the cleaner will do — the engine's
+    replacement for the reference's generated pandas script."""
+
+    dedup_keys: list[str] | None = None          # None = full row
+    order_key: str | None = None                 # keep-first tie-break
+    dropped_columns: list[str] = field(default_factory=list)
+    imputations: dict[str, Any] = field(default_factory=dict)
+    caps: dict[str, tuple[float, float]] = field(default_factory=dict)
+    standardize_columns: list[str] = field(default_factory=list)
+    casts: dict[str, str] = field(default_factory=dict)
+
+    def describe(self) -> dict:
+        return {
+            "dedup_keys": self.dedup_keys,
+            "dropped_columns": self.dropped_columns,
+            "imputations": self.imputations,
+            "caps": {k: list(v) for k, v in self.caps.items()},
+            "standardize_columns": self.standardize_columns,
+            "casts": self.casts,
+        }
+
+
+def build_plan(
+    df: DataFrame,
+    p: ProfileResult | None = None,
+    dedup_keys: list[str] | None = None,
+    order_key: str | None = None,
+    standardize: list[str] | None = None,
+    casts: dict[str, str] | None = None,
+) -> CorrectionPlan:
+    """Derive the correction plan from profile stats (one extra tiny
+    job for modes of string columns needing imputation)."""
+    if p is None:
+        p = profile(df, detect_formats=False)
+    n = max(p.row_count, 1)
+    plan = CorrectionPlan(dedup_keys=dedup_keys, order_key=order_key)
+    numeric_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    for c, st in p.stats.items():
+        null_share = 1.0 - (st.get("non_null_count") or 0) / n
+        dtype = p.column_types.get(c, "")
+        if null_share > config.HIGH_NULL_DROP_THRESHOLD:
+            plan.dropped_columns.append(c)
+            continue
+        if null_share > 0:
+            if dtype in numeric_types or dtype.startswith("decimal"):
+                if null_share < config.IMPUTE_MEDIAN_NULL_SHARE:
+                    plan.imputations[c] = st.get("median")
+                else:
+                    plan.imputations[c] = st.get("mean")
+            elif dtype == "string":
+                plan.imputations[c] = "__MODE__"  # resolved below
+        if "q1" in st and st.get("q1") is not None and st.get("q3") is not None:
+            iqr = st["q3"] - st["q1"]
+            if iqr > 0:
+                plan.caps[c] = (st["q1"] - 1.5 * iqr, st["q3"] + 1.5 * iqr)
+    # resolve modes in one fused pass: mode(c) via count per value with
+    # (count desc, value asc) tie-break — reference mode()[0] semantics
+    mode_cols = [c for c, v in plan.imputations.items() if v == "__MODE__"]
+    for c in mode_cols:
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .count()
+            .orderBy(F.desc("count"), F.asc(c))
+            .limit(1)
+            .collect()
+        )
+        plan.imputations[c] = top[0][0] if top else "Unknown"
+    plan.standardize_columns = standardize or []
+    plan.casts = casts or {}
+    return plan
+
+
+def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
+    """Apply the plan as ONE lazy transformation chain — executed in a
+    single action by the caller. Step order matches the reference
+    fallback cleaner exactly (data_corrector.py:547-631)."""
+    out = df
+    # 1. dedup (keep-first by order_key for determinism)
+    if plan.dedup_keys is not None and plan.order_key:
+        w = Window.partitionBy(*plan.dedup_keys).orderBy(F.asc(plan.order_key))
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    elif plan.dedup_keys is not None:
+        out = out.dropDuplicates(plan.dedup_keys)
+    else:
+        out = out.dropDuplicates()
+    # 2. drop high-null columns
+    for c in plan.dropped_columns:
+        out = out.drop(c)
+    # 3. impute
+    numeric_imp = {
+        c: v
+        for c, v in plan.imputations.items()
+        if c not in plan.dropped_columns and isinstance(v, (int, float)) and v is not None
+    }
+    string_imp = {
+        c: v
+        for c, v in plan.imputations.items()
+        if c not in plan.dropped_columns and isinstance(v, str)
+    }
+    if numeric_imp:
+        out = out.fillna(numeric_imp)
+    if string_imp:
+        out = out.fillna(string_imp)
+    # 4. cap outliers: clip == least(greatest(x, lo), hi)
+    for c, (lo, hi) in plan.caps.items():
+        if c in plan.dropped_columns or c not in out.columns:
+            continue
+        dt = dict(out.dtypes)[c]
+        clipped = F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
+        out = out.withColumn(c, clipped.cast(dt))
+    # 5. standardize text: strip + title-case
+    for c in plan.standardize_columns:
+        if c in out.columns:
+            out = out.withColumn(c, F.initcap(F.trim(F.col(c))))
+    # 6. casts (try_cast == errors='coerce')
+    for c, t in plan.casts.items():
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).try_cast(t))
+    return out
+
+
+def clean(
+    df: DataFrame,
+    dedup_keys: list[str] | None = None,
+    order_key: str | None = None,
+    standardize: list[str] | None = None,
+    casts: dict[str, str] | None = None,
+) -> tuple[DataFrame, CorrectionPlan]:
+    plan = build_plan(df, dedup_keys=dedup_keys, order_key=order_key,
+                      standardize=standardize, casts=casts)
+    return apply_plan(df, plan), plan

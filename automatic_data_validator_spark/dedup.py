@@ -188,12 +188,11 @@ def minhash_signature(text_col: str, num_hashes: int = 16, shingle_k: int = 3):
     higher-order functions (no shuffle, no Python).
     """
     sh = word_shingles(text_col, shingle_k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def perm_min(i: int):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_duplicates(
@@ -256,16 +255,19 @@ def simhash(text_col: str, bits: int = 64):
     """
     tokens = F.split(F.lower(F.col(text_col)), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_exprs = []
-    for b in range(bits):
-        vote = F.aggregate(
+    def bit_vote(b: int):
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, b=b: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
             ),
         )
+
+    bit_exprs = []
+    for b in range(bits):
+        vote = bit_vote(b)
         bit_exprs.append(
             F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )

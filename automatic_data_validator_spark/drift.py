@@ -1,0 +1,274 @@
+"""Distribution drift: t-digest sketches + KS / PSI vs a baseline.
+
+The reference profiles distributions (skew/kurtosis/normality,
+data_analyzer.py:349-388) and compares before/after text quality
+(text_processor.py:694-718) but has no drift check; north_star
+requires "distribution-drift via KS/PSI on t-digest sketches against
+a baseline snapshot".
+
+Design: a from-scratch merging t-digest (Dunning & Ertl's public
+algorithm — "Computing extremely accurate quantiles using
+t-digests", arXiv:1902.04023). Per-partition partial sketches are
+built with ``mapInPandas`` (Arrow batches, vectorized numpy — no
+per-row Python), each partition emits ONE serialized digest row, and
+the driver merges the tiny partials. Sketches are associative and
+serializable, so they checkpoint alongside the phase outputs and a
+later Structured Streaming wrapper could reuse them unchanged
+(SURVEY.md §2.10).
+
+Cheap path: ``F.percentile_approx`` on a fixed grid when a
+full sketch isn't needed.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- t-digest ---------------------------------------------------------------
+
+@dataclass
+class TDigest:
+    """Merging t-digest with the k1 scale function."""
+
+    compression: float = 200.0
+    means: np.ndarray = field(default_factory=lambda: np.array([], dtype=np.float64))
+    weights: np.ndarray = field(default_factory=lambda: np.array([], dtype=np.float64))
+    min_val: float = math.inf
+    max_val: float = -math.inf
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_values(cls, values: np.ndarray, compression: float = 200.0) -> "TDigest":
+        d = cls(compression=compression)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return d
+        d.min_val = float(v.min())
+        d.max_val = float(v.max())
+        v.sort()
+        d.means = v
+        d.weights = np.ones_like(v)
+        d._compress()
+        return d
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum()) if self.weights.size else 0.0
+
+    def _k(self, q: float) -> float:
+        # k1 scale function: delta/(2*pi) * asin(2q - 1)
+        return self.compression / (2 * math.pi) * math.asin(2 * q - 1)
+
+    def _compress(self) -> None:
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means, kind="mergesort")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        new_means: list[float] = []
+        new_weights: list[float] = []
+        cur_mean, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+        k_lower = self._k(0.0 + 1e-15)
+        for m, w in zip(means[1:], weights[1:]):
+            q_up = (w_so_far + cur_w + w) / total
+            if q_up <= 1.0 and self._k(min(q_up, 1 - 1e-15)) - k_lower <= 1.0:
+                cur_mean = (cur_mean * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                new_means.append(cur_mean)
+                new_weights.append(cur_w)
+                w_so_far += cur_w
+                k_lower = self._k(min(max(w_so_far / total, 1e-15), 1 - 1e-15))
+                cur_mean, cur_w = m, w
+        new_means.append(cur_mean)
+        new_weights.append(cur_w)
+        self.means = np.array(new_means)
+        self.weights = np.array(new_weights)
+
+    # -- algebra --------------------------------------------------------------
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(compression=self.compression)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out.min_val = min(self.min_val, other.min_val)
+        out.max_val = max(self.max_val, other.max_val)
+        out._compress()
+        return out
+
+    @classmethod
+    def merge_all(cls, digests: Iterable["TDigest"], compression: float = 200.0) -> "TDigest":
+        out = cls(compression=compression)
+        ms, ws = [out.means], [out.weights]
+        for d in digests:
+            ms.append(d.means)
+            ws.append(d.weights)
+            out.min_val = min(out.min_val, d.min_val)
+            out.max_val = max(out.max_val, d.max_val)
+        out.means = np.concatenate(ms)
+        out.weights = np.concatenate(ws)
+        out._compress()
+        return out
+
+    # -- queries ---------------------------------------------------------------
+    def cdf(self, x: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        if x <= self.min_val:
+            return 0.0
+        if x >= self.max_val:
+            return 1.0
+        total = self.total_weight
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        return float(np.interp(x, self.means, cum / total))
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        total = self.total_weight
+        cum = (np.cumsum(self.weights) - self.weights / 2.0) / total
+        return float(np.interp(q, cum, self.means, left=self.min_val, right=self.max_val))
+
+    # -- serialization -----------------------------------------------------------
+    def serialize(self) -> str:
+        return json.dumps(
+            {
+                "c": self.compression,
+                "m": self.means.tolist(),
+                "w": self.weights.tolist(),
+                "lo": self.min_val if math.isfinite(self.min_val) else None,
+                "hi": self.max_val if math.isfinite(self.max_val) else None,
+            }
+        )
+
+    @classmethod
+    def deserialize(cls, s: str) -> "TDigest":
+        o = json.loads(s)
+        d = cls(compression=o["c"])
+        d.means = np.array(o["m"], dtype=np.float64)
+        d.weights = np.array(o["w"], dtype=np.float64)
+        d.min_val = o["lo"] if o["lo"] is not None else math.inf
+        d.max_val = o["hi"] if o["hi"] is not None else -math.inf
+        return d
+
+
+# --- distributed sketching ---------------------------------------------------
+
+_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType(), False),
+        T.StructField("sketch", T.StringType(), False),
+    ]
+)
+
+
+def sketch_columns(
+    df: DataFrame, columns: list[str], compression: float = 200.0
+) -> dict[str, TDigest]:
+    """One t-digest per numeric column, built from per-partition
+    partials: each Arrow batch folds into a local digest, each
+    partition emits one row per column, the driver merges ~partitions
+    rows. Network cost is O(partitions * compression) — independent
+    of table size."""
+
+    def build(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        partials: dict[str, TDigest] = {c: TDigest(compression=compression) for c in columns}
+        for batch in iterator:
+            for c in columns:
+                vals = pd.to_numeric(batch[c], errors="coerce").to_numpy(dtype=np.float64)
+                d = TDigest.from_values(vals, compression)
+                if d.total_weight:
+                    partials[c] = partials[c].merge(d)
+        yield pd.DataFrame(
+            {
+                "column": list(partials.keys()),
+                "sketch": [d.serialize() for d in partials.values()],
+            }
+        )
+
+    rows = df.select(*columns).mapInPandas(build, _SKETCH_SCHEMA).collect()
+    merged: dict[str, list[TDigest]] = {c: [] for c in columns}
+    for r in rows:
+        merged[r["column"]].append(TDigest.deserialize(r["sketch"]))
+    return {c: TDigest.merge_all(ds, compression) for c, ds in merged.items() if ds}
+
+
+# --- drift statistics ---------------------------------------------------------
+
+def ks_statistic(current: TDigest, baseline: TDigest, grid_size: int = 200) -> float:
+    """KS = max |CDF_cur(x) - CDF_base(x)| over the merged centroid grid."""
+    grid = np.unique(np.concatenate([current.means, baseline.means]))
+    if grid.size > grid_size:
+        idx = np.linspace(0, grid.size - 1, grid_size).astype(int)
+        grid = grid[idx]
+    return float(
+        max(abs(current.cdf(float(x)) - baseline.cdf(float(x))) for x in grid)
+        if grid.size
+        else float("nan")
+    )
+
+
+def psi(current: TDigest, baseline: TDigest, bins: int = 10, eps: float = 1e-6) -> float:
+    """Population Stability Index over baseline decile bins:
+    sum (p_i - q_i) * ln(p_i / q_i)."""
+    edges = [baseline.quantile(i / bins) for i in range(1, bins)]
+    edges = [-math.inf] + edges + [math.inf]
+    total = 0.0
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        q = _bin_mass(baseline, lo, hi)
+        p = _bin_mass(current, lo, hi)
+        p, q = max(p, eps), max(q, eps)
+        total += (p - q) * math.log(p / q)
+    return total
+
+
+def _bin_mass(d: TDigest, lo: float, hi: float) -> float:
+    c_hi = 1.0 if hi == math.inf else d.cdf(hi)
+    c_lo = 0.0 if lo == -math.inf else d.cdf(lo)
+    return max(c_hi - c_lo, 0.0)
+
+
+def drift_report(
+    current_df: DataFrame,
+    baseline_sketches: dict[str, TDigest],
+    columns: list[str] | None = None,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> list[dict]:
+    """Sketch current snapshot, compare column-by-column vs baseline."""
+    columns = columns or list(baseline_sketches)
+    cur = sketch_columns(current_df, columns)
+    out = []
+    for c in columns:
+        if c not in cur or c not in baseline_sketches:
+            continue
+        k = ks_statistic(cur[c], baseline_sketches[c])
+        p = psi(cur[c], baseline_sketches[c])
+        out.append(
+            {
+                "column": c,
+                "ks": k,
+                "psi": p,
+                "drifted": bool(k > ks_threshold or p > psi_threshold),
+            }
+        )
+    return out
+
+
+def quantile_grid(df: DataFrame, column: str, grid: list[float]) -> list[float]:
+    """Cheap path: percentile_approx on a fixed grid (no sketch)."""
+    row = df.agg(
+        F.percentile_approx(column, grid, 10_000).alias("q")
+    ).collect()[0]
+    return list(row["q"])

@@ -1,0 +1,137 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with
+typed metadata.
+
+The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; the actual codec work is stubbed —
+the container has no image/audio libraries — behind
+``DecodeUnavailable`` or a deterministic fake so tests can assert the
+pipeline shape end-to-end. A production deployment swaps
+``_decode_image_fake`` for a Pillow/torchvision call with the SAME
+signature; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real-decoder slot: codec libraries absent here."""
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    raise DecodeUnavailable(
+        "image decoding requires Pillow/libvips; not present in this "
+        "container — wire a decoder with signature bytes -> HxWxC uint8"
+    )
+
+
+def _decode_image_fake(payload: bytes, out_dim: int = 16) -> np.ndarray:
+    """Deterministic fake decoder: derive a pseudo-feature from the
+    payload bytes so pipeline tests are stable without codecs."""
+    if payload is None:
+        return np.zeros(out_dim, dtype=np.float32)
+    arr = np.frombuffer(payload[: out_dim * 4].ljust(out_dim * 4, b"\0"), dtype=np.uint8)
+    return (arr[: out_dim].astype(np.float32) / 255.0)
+
+
+def synth_media_payloads(catalog: DataFrame, payload_bytes: int = 64) -> DataFrame:
+    """Attach deterministic binary payloads + typed metadata to a media
+    catalog — expression-only (payload = repeated md5 of the ref)."""
+    h = F.md5(F.col("media_ref"))
+    payload = F.to_binary(
+        F.substring(F.repeat(h, (payload_bytes // 16) + 1), 1, payload_bytes * 2), F.lit("hex")
+    )
+    meta = F.struct(
+        (F.pmod(F.xxhash64("media_ref", F.lit("w")), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("media_ref", F.lit("h")), F.lit(1080)) + 16).cast("int").alias("height"),
+        F.when(
+            F.col("media_kind") == "audio",
+            (F.pmod(F.xxhash64("media_ref", F.lit("d")), F.lit(600_000)) + 1000).cast("int"),
+        ).otherwise(F.lit(None).cast("int")).alias("duration_ms"),
+        F.concat(F.lit("application/x-"), F.col("media_kind")).alias("mime"),
+    )
+    return catalog.select(
+        "media_ref",
+        "media_kind",
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame, out_dim: int = 16, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Partitioning note for 100 TB: payload columns dominate bytes, so
+    the caller should repartition by media_ref range before this to
+    balance batch sizes; the UDF itself is embarrassingly parallel.
+    """
+    decoder = _decode_image_fake if use_fake_decoder else _decode_image_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats, ok = [], []
+            for payload in b["payload"]:
+                try:
+                    vec = decoder(payload)
+                    feats.append([float(x) for x in vec[:out_dim]])
+                    ok.append(True)
+                except DecodeUnavailable:
+                    feats.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"media_ref": b["media_ref"], "feature": feats, "decode_ok": ok}
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """For video/audio rows: expand to (media_ref, frame_ts_ms) sample
+    points from metadata — pure expressions; the decode of each frame
+    would plug into extract_features."""
+    return (
+        media.filter(F.col("meta.duration_ms").isNotNull())
+        .select(
+            "media_ref",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

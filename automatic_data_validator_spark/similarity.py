@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast cross join with the
+dot product computed by ``F.zip_with`` + ``F.aggregate`` (JVM-side,
+no Python). Scale path: LSH-bucketed variant using random-hyperplane
+signatures so candidate generation is a bucket equi-join instead of a
+cross product; at 100 TB only the bucket join shuffles, and its key is
+an 8-byte hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (query_id, embedding). The query side is broadcast (it's
+    the small side by construction); ranking uses a window per query
+    with a deterministic (sim desc, id asc) tie-break.
+    Returns (query_id, neighbor_id, cosine_sim).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    sims = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_v"), F.col("_qv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: int = 42):
+    """Random-hyperplane LSH signature as a bigint bit-pack.
+
+    Plane weights are pseudo-random but deterministic: w[p][i] derives
+    from xxhash64(p, i, seed) mapped to [-1, 1] — generated inline as
+    literals-free expressions so the plan is identical on every
+    executor (no broadcast variable needed).
+    """
+    v = F.col(vec_col)
+
+    def projection(p: int):
+        weights = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: (
+                F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2001)).cast("double")
+                - 1000.0
+            )
+            / 1000.0,
+        )
+        return F.aggregate(
+            F.zip_with(v, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = projection(p)
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any of
+    ``n_tables`` hyperplane-signature buckets with the query, then
+    exact cosine rank within candidates. The bucket join is an
+    equi-join on (table, signature) — shuffle on 8-byte keys only."""
+    def with_sigs(df, idc):
+        return df.select(
+            F.col(idc).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_signature(vec_col, n_planes, seed=seed + t).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("b"),
+        ).select("_id", "_v", "b.tbl", "b.sig")
+
+    vs = with_sigs(vectors, id_col)
+    qs = with_sigs(queries, query_id_col).withColumnRenamed("_id", "query_id").withColumnRenamed(
+        "_v", "_qv"
+    )
+    cand = (
+        vs.join(F.broadcast(qs), ["tbl", "sig"])
+        .select("query_id", F.col("_id").alias("neighbor_id"), "_v", "_qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_v"), F.col("_qv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

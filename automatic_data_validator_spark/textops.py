@@ -1,0 +1,201 @@
+"""Text analysis & cleaning operators.
+
+Re-expresses the reference's text_processor.py surface (stats 80-94,
+regex cleaning patterns 48-56 applied 462-548, encoding-artifact fixes
+165-169/527-531, English-stopword language heuristic 171-182, chunking
+355-426) as Spark column expressions — every function here returns a
+Column or DataFrame built purely from ``pyspark.sql.functions``; no
+Python executes per row, so the whole suite stays inside whole-stage
+codegen.
+
+Also provides the training-pipeline text ops: language-ID heuristic,
+quality scoring, token counting (whitespace + BPE-ish regex), and
+rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import config
+
+
+# --- basic stats (reference text_processor.py:80-94) -----------------------
+
+def word_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def line_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, "\n"))
+
+
+def sentence_count(col) -> Column:
+    """Sentence count via terminal-punctuation splits (the reference
+    uses nltk.sent_tokenize; this is the declarative approximation,
+    documented divergence per SURVEY.md §7)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != ""))
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+# --- cleaning (reference text_processor.py:48-56, 462-548) -----------------
+
+def clean_text(col, remove: list[str] | None = None) -> Column:
+    """Chained regexp_replace using the reference's exact patterns.
+
+    remove: subset of config.TEXT_PATTERNS keys, applied in the listed
+    order, then whitespace is collapsed and trimmed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    remove = remove or ["url", "email", "html_tag"]
+    for key in remove:
+        c = F.regexp_replace(c, config.TEXT_PATTERNS[key], " ")
+    c = F.regexp_replace(c, config.TEXT_PATTERNS["extra_whitespace"], " ")
+    return F.trim(c)
+
+
+def fix_encoding_artifacts(col) -> Column:
+    """Replace mojibake sequences (reference text_processor.py:527-531)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in config.ENCODING_ARTIFACTS.items():
+        c = F.regexp_replace(c, bad, good)
+    return c
+
+
+def has_encoding_artifacts(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    cond = F.lit(False)
+    for bad in config.ENCODING_ARTIFACTS:
+        cond = cond | c.contains(bad)
+    return cond
+
+
+# --- language heuristic (reference text_processor.py:171-182) --------------
+
+def english_stopword_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    stop = F.array(*[F.lit(w) for w in config.EN_STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return hits.cast("double") / F.greatest(F.size(words), F.lit(1))
+
+
+def is_english(col) -> Column:
+    return english_stopword_ratio(col) > config.EN_STOPWORD_RATIO
+
+
+def lang_id_ngram(col) -> Column:
+    """Tiny n-gram/stopword language classifier: en/es/de/fr/other.
+
+    Heuristic marker-word voting — deterministic, expression-only; a
+    stand-in for a real model at the same plumbing (one withColumn).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    words = F.split(F.trim(c), r"\s+")
+    markers = {
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "la", "los", "que", "de"],
+        "de": ["der", "die", "das", "und", "ist"],
+        "fr": ["le", "la", "les", "est", "une"],
+    }
+    def marker_hits(ws: list[str]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = [
+        F.struct(marker_hits(ws).alias("n"), F.lit(lang).alias("lang"))
+        for lang, ws in markers.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("other"))
+
+
+# --- quality scoring --------------------------------------------------------
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, words, mean word length,
+    punctuation ratio, stopword ratio, digit ratio, upper ratio.
+    One narrow projection — no shuffle."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        word_count(c).alias("q_words"),
+        (n_chars.cast("double") / F.greatest(word_count(c), F.lit(1))).alias("q_mean_word_len"),
+        (
+            F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")).cast("double") / nz
+        ).alias("q_punct_ratio"),
+        english_stopword_ratio(c).alias("q_stopword_ratio"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double") / nz).alias("q_digit_ratio"),
+        (F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double") / nz).alias("q_upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-100 quality score from the features (weights chosen
+    to mirror the reference's deduction style, data_analyzer.py:457-477)."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.lit(100.0)
+        - F.when(F.col("q_words") < 5, F.lit(30.0)).otherwise(F.lit(0.0))
+        - F.when(F.col("q_punct_ratio") > 0.3, F.lit(20.0)).otherwise(F.lit(0.0))
+        - F.when(F.col("q_digit_ratio") > 0.3, F.lit(20.0)).otherwise(F.lit(0.0))
+        - F.when(F.col("q_upper_ratio") > 0.5, F.lit(10.0)).otherwise(F.lit(0.0))
+        - F.when(F.col("q_mean_word_len") > 15, F.lit(20.0)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("q_score", F.greatest(score, F.lit(0.0)))
+
+
+# --- token counting ---------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs —
+# approximates GPT-2-style regex splitting with RE2-compatible syntax.
+_BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return word_count(col)
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count via regexp_extract_all + size (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_REGEX), F.lit(0)))
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+def doc_fingerprint(col) -> Column:
+    """Cheap whole-doc fingerprint: xxhash64 of normalized text
+    (lowercased, whitespace-collapsed) — the dedup pre-key."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def rolling_fingerprints(col, window: int = 8) -> Column:
+    """Rolling-hash fingerprints: hash of every `window`-word shingle,
+    keeping the minimum per document (winnowing-lite). Returns bigint."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(words)
+    shingles = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, window), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
+    return F.array_min(shingles)

@@ -1,0 +1,127 @@
+"""Dedup families + similarity search vs numpy/pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark import dedup as D
+from automatic_data_validator_spark import similarity as S
+
+
+def test_two_phase_duplicate_counts_match_groupby(spark, docs):
+    got = {
+        r["doc_id"]: r["dup_count"]
+        for r in D.duplicate_key_counts(docs, "doc_id").collect()
+    }
+    oracle = {
+        r["doc_id"]: r["count"]
+        for r in docs.groupBy("doc_id").count().filter("count > 1").collect()
+    }
+    assert got == oracle and got  # non-empty by synth construction
+
+
+def test_hot_prefix_detection(spark, docs):
+    hot = D.hot_prefixes(docs, "doc_id", prefix_len=8, sample_fraction=1.0)
+    # synth hot keys share prefix "doc-hot-"; plain ids share "doc-0000"
+    assert "doc-0000" in hot  # 98% of rows
+    # hot doc-hot keys are ~2% of rows -> below default 5% threshold
+    lower = D.hot_prefixes(docs, "doc_id", prefix_len=8, sample_fraction=1.0,
+                           share_threshold=0.01)
+    assert "doc-hot-" in lower
+
+
+def test_salted_repartition_spreads_hot_keys(spark, docs):
+    salted = D.salted_repartition(docs, "doc_id", ["doc-hot-"], prefix_len=8,
+                                  salt_buckets=8, num_partitions=8)
+    parts = (
+        salted.filter(F.col("doc_id").startswith("doc-hot-"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1  # a single unsalted key would land on one partition
+
+
+def test_exact_dedup_and_minhash(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+        "the quick brown fox jumps over the lazy cat",  # near dup
+        "completely unrelated text about spark engines and data",
+    ]
+    pdf = pd.DataFrame({"id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+
+    exact = D.exact_dedup_keys(df, ["text"]).collect()
+    assert len(exact) == 1 and exact[0]["n_docs"] == 2
+
+    pairs = D.minhash_lsh_duplicates(df, "id", "text", num_hashes=32, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dups always collide
+    assert all(3 not in p for p in got)  # unrelated text shouldn't pair
+
+    jac = D.ngram_jaccard(df, "id", "text", pairs).collect()
+    jmap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
+    assert jmap[(0, 1)] == 1.0
+    if (0, 2) in jmap:
+        assert 0.0 < jmap[(0, 2)] < 1.0
+
+
+def test_simhash_hamming_locality(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",
+        "entirely different words describing quantum chromodynamics lattice",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"id": range(3), "text": texts}))
+    rows = df.select("id", D.simhash("text").alias("sh")).collect()
+    sh = {r["id"]: r["sh"] for r in rows}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "embedding": [vecs[0].tolist(), vecs[1].tolist()]})
+    )
+    got = S.brute_force_topk(df, queries, k=5).toPandas()
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        expected = list(np.argsort(-sims[q])[:5])
+        mine = list(got[got.query_id == q].sort_values("cosine_sim", ascending=False)["neighbor_id"])
+        assert mine == expected
+        assert mine[0] == q  # self is its own nearest neighbor
+
+
+def test_lsh_topk_recall(spark):
+    # clustered data (the realistic ANN workload): 10 centers, 30 pts each
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, 32)) * 5
+    vecs = np.vstack(
+        [centers[i % 10] + rng.normal(scale=0.5, size=32) for i in range(300)]
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [5], "embedding": [vecs[5].tolist()]})
+    )
+    exact = set(
+        r["neighbor_id"] for r in S.brute_force_topk(df, queries, k=10).collect()
+    )
+    approx = set(
+        r["neighbor_id"]
+        for r in S.lsh_topk(df, queries, k=10, n_planes=8, n_tables=8).collect()
+    )
+    assert 5 in approx  # self found
+    assert len(exact & approx) >= 6  # recall@10 >= 0.6 on clustered data

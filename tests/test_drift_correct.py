@@ -1,0 +1,143 @@
+"""t-digest sketch properties, KS/PSI drift, correction pipeline
+vs the reference fixture (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from automatic_data_validator_spark.correct import build_plan, apply_plan, clean
+from automatic_data_validator_spark.drift import (
+    TDigest,
+    drift_report,
+    ks_statistic,
+    psi,
+    sketch_columns,
+)
+
+
+def test_tdigest_quantiles_accurate():
+    rng = np.random.RandomState(42)
+    vals = rng.normal(100, 15, 50_000)
+    d = TDigest.from_values(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert abs(d.quantile(q) - np.quantile(vals, q)) < 0.5, q
+    assert abs(d.cdf(100.0) - 0.5) < 0.01
+
+
+def test_tdigest_merge_associative():
+    rng = np.random.RandomState(1)
+    a, b, c = (TDigest.from_values(rng.normal(0, 1, 10_000)) for _ in range(3))
+    m1 = a.merge(b).merge(c)
+    m2 = a.merge(b.merge(c))
+    for q in (0.1, 0.5, 0.9):
+        assert math.isclose(m1.quantile(q), m2.quantile(q), abs_tol=0.05)
+    assert math.isclose(m1.total_weight, 30_000)
+
+
+def test_tdigest_serialize_roundtrip():
+    d = TDigest.from_values(np.arange(1000, dtype=float))
+    d2 = TDigest.deserialize(d.serialize())
+    assert math.isclose(d.quantile(0.5), d2.quantile(0.5))
+    assert d2.min_val == 0.0 and d2.max_val == 999.0
+
+
+def test_distributed_sketch_matches_local(spark):
+    rng = np.random.RandomState(3)
+    vals = rng.normal(50, 5, 20_000)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(8)
+    sk = sketch_columns(df, ["x"])["x"]
+    local = TDigest.from_values(vals)
+    for q in (0.25, 0.5, 0.75):
+        assert abs(sk.quantile(q) - local.quantile(q)) < 0.1
+    assert sk.total_weight == 20_000
+
+
+def test_ks_psi_fire_on_shift(spark):
+    rng = np.random.RandomState(4)
+    base = TDigest.from_values(rng.normal(0, 1, 20_000))
+    same = TDigest.from_values(rng.normal(0, 1, 20_000))
+    shifted = TDigest.from_values(rng.normal(1.0, 1, 20_000))
+    assert ks_statistic(same, base) < 0.05
+    assert ks_statistic(shifted, base) > 0.3
+    assert psi(same, base) < 0.05
+    assert psi(shifted, base) > 0.5
+
+
+def test_drift_report_end_to_end(spark):
+    rng = np.random.RandomState(5)
+    cur = spark.createDataFrame(
+        pd.DataFrame({"a": rng.normal(10, 1, 5000), "b": rng.normal(0, 1, 5000)})
+    )
+    baseline = {
+        "a": TDigest.from_values(rng.normal(10, 1, 5000)),  # no drift
+        "b": TDigest.from_values(rng.normal(3, 1, 5000)),   # drifted
+    }
+    rep = {r["column"]: r for r in drift_report(cur, baseline)}
+    assert rep["a"]["drifted"] is False
+    assert rep["b"]["drifted"] is True
+
+
+# --- correction pipeline (reference fixture, FIXTURES.md §4) ----------------
+
+@pytest.fixture()
+def dirty(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 5],
+            "name": ["Alice", "Bob", None, "David", "Eve", "Eve"],
+            "age": ["25", "30", "35", "40", "45", "45"],
+            "salary": [50000.0, 60000.0, 70000.0, 80000.0, None, 90000.0],
+            "date": ["2023-01-01", "2023-02-01", "2023-03-01", "2023-04-01",
+                     "2023-05-01", "2023-05-01"],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_clean_reference_fixture_invariants(spark, dirty):
+    cleaned, plan = clean(
+        dirty,
+        dedup_keys=["id"],
+        order_key="id",
+        standardize=["name"],
+        casts={"age": "bigint", "date": "date"},
+    )
+    out = cleaned.orderBy("id").toPandas()
+    # zero duplicates after cleaning (pipeline_generator.py:773-780)
+    assert out["id"].is_unique and len(out) == 5
+    # nulls non-increasing: name + salary imputed (782-791)
+    assert out["name"].notna().all()
+    assert out["salary"].notna().all()
+    # mixed-type age converges to numeric (815-829)
+    assert str(out["age"].dtype).startswith("int")
+    assert list(out["age"]) == [25, 30, 35, 40, 45]
+    # date parses
+    assert out["date"].notna().all()
+    # salary imputation used median (null share 1/6 < 0.3) of non-null values
+    assert out.loc[out["id"] == 5, "salary"].iloc[0] == pytest.approx(70000.0, rel=0.01)
+    # mode imputation for name with tie-break on value
+    assert out.loc[out["id"] == 3, "name"].iloc[0] in {"Alice", "Bob", "David", "Eve"}
+
+
+def test_plan_drops_high_null_columns(spark):
+    pdf = pd.DataFrame(
+        {"keep": range(100), "drop_me": [None] * 95 + ["x"] * 5}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = build_plan(df)
+    assert "drop_me" in plan.dropped_columns
+    out = apply_plan(df, plan)
+    assert "drop_me" not in out.columns
+
+
+def test_cap_outliers(spark):
+    vals = list(np.arange(100.0)) + [10_000.0]
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    cleaned, plan = clean(df)
+    assert "x" in plan.caps
+    mx = cleaned.agg({"x": "max"}).collect()[0][0]
+    assert mx < 10_000.0

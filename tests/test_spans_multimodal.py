@@ -1,0 +1,74 @@
+"""Span operators: fingerprints, sequence invariant, Arrow normalize;
+multimodal plumbing with stubbed decode."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark import spans as SP
+from automatic_data_validator_spark import multimodal as MM
+from automatic_data_validator_spark.synth import make_media_catalog
+
+
+def test_span_fingerprint_order_sensitive(spark):
+    a = [("d1", [{"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+                 {"kind": "text", "text": "b", "media_ref": None, "offset": 1}])]
+    b = [("d1", [{"kind": "text", "text": "b", "media_ref": None, "offset": 0},
+                 {"kind": "text", "text": "a", "media_ref": None, "offset": 1}])]
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    fa = spark.createDataFrame(a, schema).select(SP.span_fingerprint().alias("f")).collect()[0]["f"]
+    fb = spark.createDataFrame(b, schema).select(SP.span_fingerprint().alias("f")).collect()[0]["f"]
+    assert fa != fb
+
+
+def test_span_sequence_equality_invariant(spark, docs):
+    """input_hint per-row invariant: a text-only normalization must
+    preserve (kind, media_ref, order) and non-normalized text."""
+    normalized = SP.normalize_spans_arrow(docs)
+    # doc_id is not unique (synth injects dups), so compare multisets of
+    # (doc_id, span_sequence_key) — synth text is already
+    # whitespace-normalized, so keys must be preserved exactly
+    a = docs.select("doc_id", SP.span_sequence_key().alias("k"))
+    b = normalized.select("doc_id", SP.span_sequence_key().alias("k"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_explode_and_text_extraction(spark, docs):
+    ex = SP.explode_spans(docs)
+    assert set(ex.columns) == {"doc_id", "span_idx", "kind", "text", "media_ref", "offset"}
+    n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
+    assert ex.count() == n_spans
+    t = docs.select("doc_id", SP.text_of().alias("txt")).filter(F.length("txt") > 0)
+    assert t.count() > 0
+    kc = SP.span_kind_counts(docs).collect()[0]
+    assert kc["n_text"] > 0 and kc["n_text"] + kc["n_image"] + kc["n_audio"] + kc["n_table"] == n_spans
+
+
+def test_spans_ordered_flag_matches_rule(spark, docs):
+    flags = docs.select(SP.spans_ordered().alias("ok"))
+    bad = flags.filter(~F.col("ok")).count()
+    assert bad > 0  # synth injects ~0.3%
+
+
+def test_multimodal_pipeline_with_fake_decoder(spark):
+    cat = make_media_catalog(spark, 200)
+    media = MM.synth_media_payloads(cat, payload_bytes=64)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = MM.extract_features(media, out_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 200
+    assert all(r["decode_ok"] and len(r["feature"]) == 8 for r in rows)
+    # deterministic: same ref -> same feature
+    f2 = {r["media_ref"]: r["feature"] for r in MM.extract_features(media, out_dim=8).collect()}
+    f1 = {r["media_ref"]: r["feature"] for r in rows}
+    assert f1 == f2
+
+
+def test_frame_sample_plan(spark):
+    cat = make_media_catalog(spark, 100)
+    media = MM.synth_media_payloads(cat)
+    frames = MM.frame_sample_plan(media, every_ms=60_000)
+    audio = media.filter("media_kind = 'audio'").count()
+    assert frames.select("media_ref").distinct().count() == audio
+    assert frames.filter("frame_ts_ms % 60000 != 0").count() == 0

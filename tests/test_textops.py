@@ -1,0 +1,95 @@
+"""Text ops vs straightforward Python oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark import textops as TX
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(pd.DataFrame({"text": texts}))
+
+
+def test_word_and_token_counts(spark):
+    texts = ["hello world", "  a  b   c ", "", "one", "x y z w v"]
+    df = _df(spark, texts).select(
+        TX.word_count("text").alias("w"), TX.token_count_bpe("text").alias("t")
+    )
+    rows = df.collect()
+    expected_w = [len(t.split()) for t in texts]
+    assert [r["w"] for r in rows] == expected_w
+    assert all(r["t"] >= r["w"] for r in rows)  # BPE-ish splits punctuation too
+
+
+def test_clean_text_removes_reference_patterns(spark):
+    dirty = "see https://spam.example/x and mail bob@x.com <b>now</b>  please"
+    df = _df(spark, [dirty]).select(TX.clean_text("text").alias("c"))
+    out = df.collect()[0]["c"]
+    assert "https" not in out and "@" not in out and "<b>" not in out
+    assert "  " not in out and out == out.strip()
+    assert "see" in out and "please" in out
+
+
+def test_encoding_artifacts(spark):
+    df = _df(spark, ["donâ€™t say â€œhiâ€"]).select(
+        TX.fix_encoding_artifacts("text").alias("f"),
+        TX.has_encoding_artifacts("text").alias("h"),
+    )
+    r = df.collect()[0]
+    assert r["h"] is True
+    assert "â€" not in r["f"] and "don't" in r["f"]
+
+
+def test_language_heuristics(spark):
+    df = _df(
+        spark,
+        [
+            "the cat is on the mat and it is happy",
+            "el gato que vive en la casa de los vecinos",
+            "der hund und die katze das ist gut",
+            "xyzzy plugh qwop",
+        ],
+    ).select(TX.is_english("text").alias("en"), TX.lang_id_ngram("text").alias("lang"))
+    rows = df.collect()
+    assert rows[0]["en"] is True and rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "es"
+    assert rows[2]["lang"] == "de"
+    assert rows[3]["lang"] == "other"
+
+
+def test_quality_score_flags_junk(spark):
+    from automatic_data_validator_spark.textops import quality_score
+
+    df = quality_score(
+        _df(
+            spark,
+            [
+                "this is a perfectly reasonable english sentence with many words",
+                "1234 5678 9999 0000 1111 22",  # digit heavy
+                "ok",  # too short
+            ],
+        )
+    )
+    rows = {r["text"][:4]: r["q_score"] for r in df.collect()}
+    assert rows["this"] > rows["1234"]
+    assert rows["this"] > rows["ok"]
+
+
+def test_fingerprint_normalization(spark):
+    df = _df(spark, ["Hello   World", "hello world", "different text"]).select(
+        TX.doc_fingerprint("text").alias("fp")
+    )
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    # same long text -> same min rolling hash; distinct text -> distinct
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = _df(spark, [base, base, base.replace("fox", "cat")]).select(
+        TX.rolling_fingerprints("text", window=4).alias("rf")
+    )
+    fps = [r["rf"] for r in df.collect()]
+    assert fps[0] == fps[1]
