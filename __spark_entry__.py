@@ -1,38 +1,840 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: builds an interleaved spans `documents`
+table from the sf0.001 flat documents table, runs the validation
+engine (row rules + salted uniqueness + referential), returns the
+per-partition verdicts DataFrame.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator
+from SURVEY.md §2, cross-checked by the driver against DuckDB at
+sf0.01. All computed columns are identically aliased on both sides;
+doubles are rounded to fixed decimals on both sides so value-hashes
+match despite engine-internal float paths.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def _spans_from_flat(docs: DataFrame) -> DataFrame:
+    """Deterministically lift the flat documents table into the
+    interleaved span model: text split into 5-word text spans, plus a
+    media span derived from doc_id every 3rd doc."""
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    k = F.lit(5)
+    n_chunks = F.greatest((n + k - 1).cast("int") / k, F.lit(1)).cast("int")
+    text_spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(F.slice(words, i * 5 + 1, 5), " ").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i * 8).cast("int").alias("offset"),
+        ),
+    )
+    media_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.format_string("media-%08d", F.pmod(F.col("doc_id"), F.lit(1000))).alias("media_ref"),
+        (n_chunks * 8).cast("int").alias("offset"),
+    )
+    spans = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(text_spans, F.array(media_span)),
+    ).otherwise(text_spans)
+    return docs.select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        spans.alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation run on an interleaved spans table."""
+    from automatic_data_validator_spark.synth import make_media_catalog
+    from automatic_data_validator_spark.validate import run_validation
+
+    docs = _spans_from_flat(_t(spark, "/root/testdata/sf0.001", "documents"))
+    catalog = make_media_catalog(spark, 1000, seed=42)
+    res = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    return res.verdicts
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_null_counts(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in o.columns
+        ]
+    )
+
+
+def q03_distinct_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    return li.agg(*[F.count_distinct(F.col(c)).alias(f"nd_{c}") for c in cols])
+
+
+def q04_numeric_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q05_quantiles(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q3"),
+        )
+    )
+
+
+def q06_iqr_outliers(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    b = li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("q1"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("q3"),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("l_extendedprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("l_extendedprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+def q07_zscore_outliers(spark, sf):
+    ev = _t(spark, sf, "events")
+    st = ev.agg(
+        F.round(F.avg("value"), 4).alias("mu"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(st))
+        .filter(F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0)
+        .select("event_id", F.round("value", 2).alias("value"))
+    )
+
+
+def q08_skew_kurt(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.skewness("l_extendedprice"), 3).alias("skew_pop"),
+        F.round(F.kurtosis("l_extendedprice"), 3).alias("kurt_pop"),
+    )
+
+
+def q09_categorical_detection(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_partkey"]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count_distinct(F.col(c)).alias(f"d_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', d_{c}" for c in cols)
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {stack}) as (col_name, distinct_count)"),
+        F.col("n").alias("total_count"),
+    ).select(
+        "col_name",
+        "distinct_count",
+        "total_count",
+        F.round(F.col("distinct_count") / F.col("total_count"), 6).alias("distinct_ratio"),
+        (F.col("distinct_count") / F.col("total_count") < 0.05).alias("is_categorical"),
+    )
+
+
+def q10_topk_brand(spark, sf):
+    p = _t(spark, sf, "part")
+    w = Window.orderBy(F.desc("cnt"), F.asc("p_brand"))
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+def q11_mode_mktsegment(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+        .limit(1)
+    )
+
+
+def q12_corr_matrix(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+    )
+
+
+def q13_rare_values(spark, sf):
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_rare_users"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+def q14_text_length_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    ln = F.length("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(ln).alias("len_min"),
+        F.max(ln).alias("len_max"),
+        F.round(F.avg(ln), 4).alias("len_avg"),
+        F.sum((F.col("text") == "").cast("long")).alias("n_empty"),
+    )
+
+
+def q15_char_classes(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.sum(F.col("text").rlike(r"\d").cast("long")).alias("n_has_digit"),
+        F.sum(F.col("text").rlike(r"[^A-Za-z0-9\s]").cast("long")).alias("n_has_special"),
+        F.sum(((F.upper("text") == F.col("text")) & F.col("text").rlike("[A-Za-z]")).cast("long")).alias("n_all_upper"),
+    )
+
+
+def q16_numeric_convertibility(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.agg(
+        F.sum(k.try_cast("double").isNotNull().cast("long")).alias("n_convertible"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(
+            F.sum(k.try_cast("double").isNotNull().cast("long")) / F.count(F.lit(1)), 6
+        ).alias("convert_ratio"),
+    )
+
+
+def q17_year_rollup(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q18_string_funcs(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.filter(F.col("c_custkey") <= 20).select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_u"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+def q19_regex_match_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.sum(F.col("text").rlike("https?://").cast("long")).alias("n_url"),
+        F.sum(F.col("text").rlike(r"\bspark\b").cast("long")).alias("n_spark"),
+        F.sum(F.col("text").rlike("[0-9]{3,}").cast("long")).alias("n_big_numbers"),
+    )
+
+
+def q20_window_topk_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority", "rnk", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+def q21_anti_join_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.agg(
+        F.count(F.lit(1)).alias("n_no_orders"),
+        F.min("c_custkey").alias("min_ck"),
+        F.max("c_custkey").alias("max_ck"),
+    )
+
+
+def q22_semi_join_parts(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    used = p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+    return used.filter(F.col("p_size") > 45).agg(
+        F.count(F.lit(1)).alias("n_big_used_parts")
+    )
+
+
+def q23_unique_key_violations(spark, sf):
+    from automatic_data_validator_spark.dedup import duplicate_key_counts
+
+    ev = _t(spark, sf, "events")
+    dups = duplicate_key_counts(ev, "user_id")
+    w = Window.orderBy(F.desc("dup_count"), F.asc("user_id"))
+    return (
+        dups.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("user_id", F.col("dup_count").alias("cnt"), "rnk")
+    )
+
+
+def q24_exact_dup_texts(spark, sf):
+    d = _t(spark, sf, "documents")
+    groups = (
+        d.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return groups.agg(F.count(F.lit(1)).alias("n_dup_groups"))
+
+
+def q25_fingerprint_distinct(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    return d.groupBy("source").agg(
+        F.count_distinct(norm).alias("n_distinct_norm"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q26_token_counts(spark, sf):
+    from automatic_data_validator_spark.textops import token_count_bpe, word_count
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum(word_count("text").cast("long")).alias("ws_tokens"),
+        F.sum(token_count_bpe("text").cast("long")).alias("bpe_tokens"),
+    )
+
+
+def q27_lang_share(spark, sf):
+    from automatic_data_validator_spark.textops import english_stopword_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum((english_stopword_ratio("text") > 0.1).cast("long")).alias("n_english"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q28_quality_flags(spark, sf):
+    d = _t(spark, sf, "documents")
+    words = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        words.alias("q_words"),
+        (words < 5).alias("flag_short"),
+        (digit_ratio > 0.3).alias("flag_digit_heavy"),
+    )
+
+
+_PSI_EDGES = [0.0, 50.0, 100.0, 150.0, 200.0, 250.0]
+
+
+def _bucket_expr(col):
+    b = F.lit(0)
+    for i, e in enumerate(_PSI_EDGES):
+        b = F.when(F.col(col) >= e, F.lit(i + 1)).otherwise(b)
+    return b
+
+
+def q29_psi_drift(spark, sf):
+    ev = _t(spark, sf, "events")
+    withb = ev.select(
+        _bucket_expr("value").alias("bucket"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    counts = withb.groupBy("bucket").agg(
+        F.sum(F.col("is_err").cast("long")).alias("n_err"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    tot = counts.agg(
+        F.sum("n_err").alias("t_err"), F.sum("n_all").alias("t_all")
+    )
+    psi = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n_err") / F.col("t_err") - F.col("n_all") / F.col("t_all"))
+                * F.log(
+                    F.greatest(F.col("n_err") / F.col("t_err"), F.lit(1e-6))
+                    / F.greatest(F.col("n_all") / F.col("t_all"), F.lit(1e-6))
+                )
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 4).alias("psi"))
+    )
+    return psi
+
+
+_KS_GRID = [25.0, 50.0, 75.0, 100.0, 125.0, 150.0, 175.0, 200.0, 225.0]
+
+
+def q30_ks_drift(spark, sf):
+    ev = _t(spark, sf, "events")
+    aggs = []
+    for g in _KS_GRID:
+        aggs.append(
+            F.round(
+                F.abs(
+                    F.avg(
+                        F.when(F.col("event_type") == "error", (F.col("value") <= g).cast("double"))
+                    )
+                    - F.avg(
+                        F.when(F.col("event_type") == "click", (F.col("value") <= g).cast("double"))
+                    )
+                ),
+                6,
+            ).alias(f"d_{int(g)}")
+        )
+    diffs = ev.agg(*aggs)
+    return diffs.select(F.round(F.greatest(*[F.col(c) for c in diffs.columns]), 4).alias("ks"))
+
+
+def q31_ann_cosine_topk(spark, sf):
+    from automatic_data_validator_spark.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, q, k=5)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "query_id", "rnk", "neighbor_id"
+    )
+
+
+def q32_minhash_pairs(spark, sf):
+    """No SQL oracle (xxhash64-based) — driver records rows-only."""
+    from automatic_data_validator_spark.dedup import minhash_lsh_duplicates
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_duplicates(d, "doc_id", "text", num_hashes=16, bands=8)
+
+
+def q33_span_validation(spark, sf):
+    """No SQL oracle (engine-native spans pipeline) — rows-only."""
+    from automatic_data_validator_spark import rules as R
+
+    docs = _spans_from_flat(_t(spark, sf, "documents"))
+    v, _x = R.evaluate_row_rules(
+        docs,
+        [
+            R.Rule("span_order", "span_order", column="spans"),
+            R.Rule("span_shape", "span_shape", column="spans"),
+            R.Rule("not_null_doc_id", "not_null", column="doc_id"),
+        ],
+    )
+    return v
+
+
+def q34_embedding_norm_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_null_counts": q02_null_counts,
+        "q03_distinct_counts": q03_distinct_counts,
+        "q04_numeric_stats": q04_numeric_stats,
+        "q05_quantiles": q05_quantiles,
+        "q06_iqr_outliers": q06_iqr_outliers,
+        "q07_zscore_outliers": q07_zscore_outliers,
+        "q08_skew_kurt": q08_skew_kurt,
+        "q09_categorical_detection": q09_categorical_detection,
+        "q10_topk_brand": q10_topk_brand,
+        "q11_mode_mktsegment": q11_mode_mktsegment,
+        "q12_corr_matrix": q12_corr_matrix,
+        "q13_rare_values": q13_rare_values,
+        "q14_text_length_stats": q14_text_length_stats,
+        "q15_char_classes": q15_char_classes,
+        "q16_numeric_convertibility": q16_numeric_convertibility,
+        "q17_year_rollup": q17_year_rollup,
+        "q18_string_funcs": q18_string_funcs,
+        "q19_regex_match_counts": q19_regex_match_counts,
+        "q20_window_topk_orders": q20_window_topk_orders,
+        "q21_anti_join_customers": q21_anti_join_customers,
+        "q22_semi_join_parts": q22_semi_join_parts,
+        "q23_unique_key_violations": q23_unique_key_violations,
+        "q24_exact_dup_texts": q24_exact_dup_texts,
+        "q25_fingerprint_distinct": q25_fingerprint_distinct,
+        "q26_token_counts": q26_token_counts,
+        "q27_lang_share": q27_lang_share,
+        "q28_quality_flags": q28_quality_flags,
+        "q29_psi_drift": q29_psi_drift,
+        "q30_ks_drift": q30_ks_drift,
+        "q31_ann_cosine_topk": q31_ann_cosine_topk,
+        "q32_minhash_pairs": q32_minhash_pairs,
+        "q33_span_validation": q33_span_validation,
+        "q34_embedding_norm_stats": q34_embedding_norm_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    null_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"]
+    nulls_sql = ", ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_{c}"
+        for c in null_cols
+    )
+    ks_diffs = ", ".join(
+        "round(abs("
+        f"avg(CASE WHEN event_type = 'error' THEN CASE WHEN value <= {g} THEN 1.0 ELSE 0.0 END END) - "
+        f"avg(CASE WHEN event_type = 'click' THEN CASE WHEN value <= {g} THEN 1.0 ELSE 0.0 END END)"
+        f"), 6) AS d_{int(g)}"
+        for g in _KS_GRID
+    )
+    bucket_case = "CASE " + " ".join(
+        f"WHEN value >= {e} THEN {i + 1}" for i, e in reversed(list(enumerate(_PSI_EDGES)))
+    ) + " ELSE 0 END"
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_null_counts": f"SELECT {nulls_sql} FROM orders",
+        "q03_distinct_counts": """
+            SELECT count(DISTINCT l_orderkey) AS nd_l_orderkey,
+                   count(DISTINCT l_partkey) AS nd_l_partkey,
+                   count(DISTINCT l_suppkey) AS nd_l_suppkey,
+                   count(DISTINCT l_returnflag) AS nd_l_returnflag,
+                   count(DISTINCT l_linestatus) AS nd_l_linestatus
+            FROM lineitem
+        """,
+        "q04_numeric_stats": """
+            SELECT l_returnflag,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(stddev_samp(l_extendedprice), 4) AS std_price,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q05_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS q3
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q06_iqr_outliers": """
+            WITH b AS (
+              SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
+                     round(quantile_cont(l_extendedprice, 0.75), 2) AS q3
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+            FROM lineitem, b
+            WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+               OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+        """,
+        "q07_zscore_outliers": """
+            WITH s AS (SELECT round(avg(value), 4) AS mu,
+                              round(stddev_samp(value), 4) AS sd FROM events)
+            SELECT event_id, round(value, 2) AS value
+            FROM events, s WHERE abs((value - mu) / sd) > 3.0
+        """,
+        "q08_skew_kurt": """
+            WITH m AS (
+              SELECT avg(l_extendedprice) AS mu,
+                     avg(l_extendedprice * l_extendedprice) AS m2r,
+                     count(*) AS n
+              FROM lineitem),
+            c AS (
+              SELECT avg(pow(l_extendedprice - m.mu, 2)) AS m2,
+                     avg(pow(l_extendedprice - m.mu, 3)) AS m3,
+                     avg(pow(l_extendedprice - m.mu, 4)) AS m4
+              FROM lineitem, m)
+            SELECT round(m3 / pow(m2, 1.5), 3) AS skew_pop,
+                   round(m4 / (m2 * m2) - 3.0, 3) AS kurt_pop
+            FROM c
+        """,
+        "q09_categorical_detection": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     count(DISTINCT l_returnflag) AS d1,
+                     count(DISTINCT l_linestatus) AS d2,
+                     count(DISTINCT l_partkey) AS d3
+              FROM lineitem)
+            SELECT col_name, distinct_count, total_count,
+                   round(CAST(distinct_count AS DOUBLE) / total_count, 6) AS distinct_ratio,
+                   CAST(distinct_count AS DOUBLE) / total_count < 0.05 AS is_categorical
+            FROM (
+              SELECT 'l_returnflag' AS col_name, d1 AS distinct_count, n AS total_count FROM s
+              UNION ALL
+              SELECT 'l_linestatus', d2, n FROM s
+              UNION ALL
+              SELECT 'l_partkey', d3, n FROM s)
+        """,
+        "q10_topk_brand": """
+            SELECT p_brand, cnt, rnk FROM (
+              SELECT p_brand, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS rnk
+              FROM part GROUP BY p_brand)
+            WHERE rnk <= 5
+        """,
+        "q11_mode_mktsegment": """
+            SELECT c_mktsegment, count(*) AS cnt
+            FROM customer GROUP BY c_mktsegment
+            ORDER BY cnt DESC, c_mktsegment ASC LIMIT 1
+        """,
+        "q12_corr_matrix": """
+            SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+                   round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+            FROM lineitem
+        """,
+        "q13_rare_values": """
+            WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+            SELECT CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_users,
+                   count(*) AS n_users
+            FROM c
+        """,
+        "q14_text_length_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(min(length(text)) AS INT) AS len_min,
+                   CAST(max(length(text)) AS INT) AS len_max,
+                   round(avg(length(text)), 4) AS len_avg,
+                   CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+            FROM documents GROUP BY lang
+        """,
+        "q15_char_classes": r"""
+            SELECT CAST(sum(CASE WHEN regexp_matches(text, '\d') THEN 1 ELSE 0 END) AS BIGINT) AS n_has_digit,
+                   CAST(sum(CASE WHEN regexp_matches(text, '[^A-Za-z0-9\s]') THEN 1 ELSE 0 END) AS BIGINT) AS n_has_special,
+                   CAST(sum(CASE WHEN upper(text) = text AND regexp_matches(text, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_all_upper
+            FROM documents
+        """,
+        "q16_numeric_convertibility": """
+            SELECT CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                                 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_convertible,
+                   count(*) AS n_total,
+                   round(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                             IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS convert_ratio
+            FROM events
+        """,
+        "q17_year_rollup": """
+            SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1
+        """,
+        "q18_string_funcs": """
+            SELECT c_custkey, upper(c_mktsegment) AS seg_u,
+                   substring(c_name, 1, 9) AS name_prefix,
+                   CAST(length(c_name) AS INT) AS name_len
+            FROM customer WHERE c_custkey <= 20
+        """,
+        "q19_regex_match_counts": r"""
+            SELECT CAST(sum(CASE WHEN regexp_matches(text, 'https?://') THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+                   CAST(sum(CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_spark,
+                   CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{3,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_big_numbers
+            FROM documents
+        """,
+        "q20_window_topk_orders": """
+            SELECT o_orderpriority, rnk, o_orderkey, total_price FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     round(o_totalprice, 2) AS total_price,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders)
+            WHERE rnk <= 3
+        """,
+        "q21_anti_join_customers": """
+            SELECT count(*) AS n_no_orders, min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+            FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q22_semi_join_parts": """
+            SELECT count(*) AS n_big_used_parts
+            FROM part WHERE p_size > 45
+              AND p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "q23_unique_key_violations": """
+            SELECT user_id, cnt, rnk FROM (
+              SELECT user_id, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
+              FROM events GROUP BY user_id HAVING count(*) > 1)
+            WHERE rnk <= 10
+        """,
+        "q24_exact_dup_texts": """
+            SELECT count(*) AS n_dup_groups FROM (
+              SELECT md5(lower(text)) AS h, count(*) AS n
+              FROM documents GROUP BY 1 HAVING count(*) > 1)
+        """,
+        "q25_fingerprint_distinct": r"""
+            SELECT source,
+                   count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_norm,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "q26_token_counts": r"""
+            SELECT source,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY source
+        """,
+        "q27_lang_share": r"""
+            SELECT source,
+                   CAST(sum(CASE WHEN
+                     CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          w -> list_contains(['the','a','an','and','or','but','in','on','at','to',
+                                              'for','of','with','by','is','are','was','were','be',
+                                              'been','it','this','that','as','from'], w))) AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) > 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "q28_quality_flags": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS q_words,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) < 5 AS flag_short,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) > 0.3 AS flag_digit_heavy
+            FROM documents
+        """,
+        "q29_psi_drift": f"""
+            WITH b AS (
+              SELECT {bucket_case} AS bucket,
+                     (event_type = 'error') AS is_err
+              FROM events),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS n_err,
+                     count(*) AS n_all
+              FROM b GROUP BY bucket),
+            tot AS (SELECT sum(n_err) AS t_err, sum(n_all) AS t_all FROM counts)
+            SELECT round(sum(
+                     (CAST(n_err AS DOUBLE) / t_err - CAST(n_all AS DOUBLE) / t_all)
+                     * ln(greatest(CAST(n_err AS DOUBLE) / t_err, 1e-6)
+                          / greatest(CAST(n_all AS DOUBLE) / t_all, 1e-6))
+                   ), 4) AS psi
+            FROM counts, tot
+        """,
+        "q30_ks_drift": f"""
+            WITH d AS (SELECT {ks_diffs} FROM events)
+            SELECT round(greatest({", ".join(f"d_{int(g)}" for g in _KS_GRID)}), 4) AS ks FROM d
+        """,
+        "q31_ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])) AS sim
+              FROM embeddings e, q)
+            SELECT query_id, rnk, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rnk
+              FROM sims)
+            WHERE rnk <= 5
+        """,
+        "q34_embedding_norm_stats": """
+            WITH n AS (
+              SELECT label,
+                     sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x), 'sum')) AS nrm
+              FROM embeddings)
+            SELECT label, count(*) AS n,
+                   round(avg(nrm), 4) AS avg_norm,
+                   round(min(nrm), 4) AS min_norm,
+                   round(max(nrm), 4) AS max_norm
+            FROM n GROUP BY label
+        """,
+    }

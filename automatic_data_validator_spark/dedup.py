@@ -58,13 +58,19 @@ def uniqueness_check(
     key: str = "doc_id",
     rule_id: str = "unique_doc_id",
     salt_buckets: int = config.DEFAULT_SALT_BUCKETS,
+    partition_totals: dict[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Verdicts + violation rows for key uniqueness, attributed to the
     *input* partitions holding the duplicate rows.
 
     The duplicate-key set is tiny (violations are rare), so the
-    attribution join back to the fact table is an explicit broadcast.
-    Returns (verdicts, violations) in rules.VERDICT/VIOLATION schema.
+    attribution join back to the fact table is an explicit broadcast —
+    ONE pass over the fact table. Violations are persisted (small) and
+    verdict counts aggregate from them, so no second full scan.
+    partition_totals: per-partition row counts already known from the
+    row-rules pass (same scan partitioning); computed here only if
+    absent. Returns (verdicts, violations) in rules VERDICT/VIOLATION
+    schema.
     """
     dups = duplicate_key_counts(df, key, salt_buckets)
     with_pid = df.select(
@@ -83,28 +89,28 @@ def uniqueness_check(
             "partition_id",
             F.lit(None).cast("string").alias("detail"),
         )
+        .persist()
     )
-    verdicts = (
-        with_pid.join(
-            F.broadcast(
-                dups.select(F.col(key).cast("string").alias("doc_id"), F.lit(1).alias("_d"))
-            ),
-            "doc_id",
-            "left",
-        )
-        .groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("row_count"),
-            F.sum(F.coalesce(F.col("_d"), F.lit(0)).cast("long")).alias("violation_count"),
-        )
-        .select(
-            "partition_id",
-            F.lit(rule_id).alias("rule_id"),
-            F.col("row_count").cast("long"),
-            F.col("violation_count").cast("long"),
-            (F.col("violation_count") == 0).alias("pass"),
-        )
-    )
+    if partition_totals is None:
+        partition_totals = {
+            r["partition_id"]: r["cnt"]
+            for r in with_pid.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    viol_by_pid = {
+        r["partition_id"]: r["cnt"]
+        for r in violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    spark = df.sparkSession
+    rows = [
+        (int(pid), rule_id, int(total), int(viol_by_pid.get(pid, 0)),
+         viol_by_pid.get(pid, 0) == 0)
+        for pid, total in sorted(partition_totals.items())
+    ]
+    from .rules import VERDICT_SCHEMA
+
+    verdicts = spark.createDataFrame(rows, VERDICT_SCHEMA)
     return verdicts, violations
 
 

@@ -125,20 +125,23 @@ class TDigest:
     def cdf(self, x: float) -> float:
         if self.means.size == 0:
             return float("nan")
+        if x >= self.max_val:
+            return 1.0  # checked first so a constant column (min==max) -> 1
         if x <= self.min_val:
             return 0.0
-        if x >= self.max_val:
-            return 1.0
         total = self.total_weight
         cum = np.cumsum(self.weights) - self.weights / 2.0
-        return float(np.interp(x, self.means, cum / total))
+        # clip: np.interp can overflow when adjacent centroid means
+        # differ by a subnormal gap (slope ~ 1e308)
+        return float(np.clip(np.interp(x, self.means, cum / total), 0.0, 1.0))
 
     def quantile(self, q: float) -> float:
         if self.means.size == 0:
             return float("nan")
         total = self.total_weight
         cum = (np.cumsum(self.weights) - self.weights / 2.0) / total
-        return float(np.interp(q, cum, self.means, left=self.min_val, right=self.max_val))
+        v = np.interp(q, cum, self.means, left=self.min_val, right=self.max_val)
+        return float(np.clip(v, self.min_val, self.max_val))
 
     # -- serialization -----------------------------------------------------------
     def serialize(self) -> str:

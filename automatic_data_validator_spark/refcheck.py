@@ -43,11 +43,16 @@ def referential_check(
     rule_id: str = "referential_media_ref",
     catalog_rows: int | None = None,
     broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
+    partition_totals: dict[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Return (verdicts, violations) in rules.VERDICT/VIOLATION schema.
+    """Return (verdicts, violations) in rules VERDICT/VIOLATION schema.
 
     Violation = a doc containing at least one dangling media_ref; one
-    violation row per (doc, dangling ref).
+    violation row per (doc, dangling ref). ONE pass over the fact
+    table: the dangling set is persisted (small) and per-partition
+    verdict counts aggregate from it; partition_totals reuses row
+    counts from the row-rules pass when available (same scan
+    partitioning => same spark_partition_id assignment).
     """
     refs = distinct_refs(df, spans_col)
     cat = catalog.select("media_ref").distinct()
@@ -58,33 +63,39 @@ def referential_check(
         cat_side = F.broadcast(cat)
     else:
         cat_side = cat.hint("merge")
-    dangling = refs.join(cat_side, "media_ref", "left_anti")
+    # dangling is consumed twice (violation rows + per-partition verdict
+    # counts) and is small; persist so the explode+join runs once
+    dangling = refs.join(cat_side, "media_ref", "left_anti").persist()
     violations = dangling.select(
         "doc_id",
         F.lit(rule_id).alias("rule_id"),
         "partition_id",
         F.col("media_ref").alias("detail"),
     )
-    # per-partition verdicts: total docs per partition vs violating docs
-    totals = (
-        df.select(F.spark_partition_id().cast("int").alias("partition_id"))
-        .groupBy("partition_id")
-        .agg(F.count(F.lit(1)).alias("row_count"))
-    )
-    viol_counts = (
-        dangling.select("partition_id", "doc_id")
+    if partition_totals is None:
+        partition_totals = {
+            r["partition_id"]: r["cnt"]
+            for r in df.select(
+                F.spark_partition_id().cast("int").alias("partition_id")
+            )
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    viol_by_pid = {
+        r["partition_id"]: r["cnt"]
+        for r in dangling.select("partition_id", "doc_id")
         .distinct()
         .groupBy("partition_id")
-        .agg(F.count(F.lit(1)).alias("violation_count"))
-    )
-    verdicts = (
-        totals.join(viol_counts, "partition_id", "left")
-        .select(
-            "partition_id",
-            F.lit(rule_id).alias("rule_id"),
-            F.col("row_count").cast("long"),
-            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
-            (F.coalesce(F.col("violation_count"), F.lit(0)) == 0).alias("pass"),
-        )
-    )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    from .rules import VERDICT_SCHEMA
+
+    rows = [
+        (int(pid), rule_id, int(total), int(viol_by_pid.get(pid, 0)),
+         viol_by_pid.get(pid, 0) == 0)
+        for pid, total in sorted(partition_totals.items())
+    ]
+    verdicts = df.sparkSession.createDataFrame(rows, VERDICT_SCHEMA)
     return verdicts, violations

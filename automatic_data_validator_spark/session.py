@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Throughput GC: at high local thread counts the default G1
+        # collector serializes allocation-heavy operators (nested-array
+        # scans, HLL over structs) — measured 8x slower at local[32].
+        # ParallelGC restores near-linear scaling for this workload.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if extra_conf:
         for k, v in extra_conf.items():

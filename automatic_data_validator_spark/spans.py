@@ -49,12 +49,12 @@ def span_sequence_key(spans_col: str = "spans") -> Column:
 
 
 def spans_ordered(spans_col: str = "spans") -> Column:
-    """TRUE iff offsets are strictly increasing (rule W2)."""
-    return F.expr(
-        f"aggregate({spans_col}, struct(true as ok, cast(-1 as int) as prev), "
-        "(acc, x) -> struct(acc.ok and x.offset > acc.prev, x.offset), "
-        "acc -> acc.ok)"
-    )
+    """TRUE iff offsets are strictly increasing (rule W2). Delegates to
+    the lambda-free formulation in rules.py (HOF aggregate measured 20x
+    slower — see rules.span_order_pred)."""
+    from .rules import span_order_pred
+
+    return span_order_pred(spans_col)
 
 
 def text_of(spans_col: str = "spans", sep: str = " ") -> Column:

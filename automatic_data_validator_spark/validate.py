@@ -62,78 +62,83 @@ def run_validation(
         if checkpoint_dir
         else None
     )
-    verdict_parts: list[DataFrame] = []
+    verdict_rows: list[tuple] = []
     violation_parts: list[DataFrame] = []
     lineage_parts: list[DataFrame] = []
 
-    def run_phase(name: str, fn) -> tuple[DataFrame, DataFrame]:
-        """Run or resume one phase; materialize via checkpoint when on."""
+    def run_phase(name: str, fn) -> list[tuple]:
+        """Run or resume one phase.
+
+        Verdicts are tiny (one row per partition x rule): they are
+        collected ONCE here and re-materialized as a local DataFrame,
+        so later consumers never re-trigger the full input scan.
+        Violation rows stay lazy unless checkpointing is on (then they
+        are written+read-back, i.e. materialized exactly once).
+        """
         if ckpt and ckpt.is_done(name):
-            return (
-                ckpt.read(spark, name, "verdicts"),
-                ckpt.read(spark, name, "violations"),
-            )
-        verdicts, violations = fn()
-        if ckpt:
-            ckpt.write(name, "verdicts", verdicts)
-            ckpt.write(name, "violations", violations)
-            verdicts = ckpt.read(spark, name, "verdicts")
-            violations = ckpt.read(spark, name, "violations")
-            ckpt.mark_done(name)
-        return verdicts, violations
+            v_rows = [tuple(r) for r in ckpt.read(spark, name, "verdicts").collect()]
+            violation_parts.append(ckpt.read(spark, name, "violations"))
+        else:
+            verdicts, violations = fn()
+            v_rows = [tuple(r) for r in verdicts.collect()]
+            if ckpt:
+                ckpt.write(name, "verdicts",
+                           spark.createDataFrame(v_rows, R.VERDICT_SCHEMA))
+                ckpt.write(name, "violations", violations)
+                violations = ckpt.read(spark, name, "violations")
+                ckpt.mark_done(name)
+            violation_parts.append(violations)
+        verdict_rows.extend(v_rows)
+        lineage_parts.append(
+            lineage_from_verdicts(spark, v_rows, name, snapshot_id, rule_version)
+        )
+        return v_rows
 
     row_rules = R.row_level(rule_set)
+    partition_totals: dict[int, int] | None = None
     if row_rules:
-        v, x = run_phase(
+        rr_rows = run_phase(
             "row_rules", lambda: R.evaluate_row_rules(documents, row_rules, key_column)
         )
-        verdict_parts.append(v)
-        violation_parts.append(x)
-        lineage_parts.append(
-            lineage_from_verdicts(spark, [tuple(r) for r in v.collect()],
-                                  "row_rules", snapshot_id, rule_version)
-        )
+        # per-partition row totals from the row-rules scan — reused by
+        # the uniqueness/referential phases (same parquet scan => same
+        # spark_partition_id assignment), saving one full pass each
+        partition_totals = {}
+        for r in rr_rows:
+            partition_totals[int(r[0])] = int(r[2])
 
     if check_uniqueness or any(r.kind == "unique_key" for r in rule_set):
         uniq_rules = [r for r in rule_set if r.kind == "unique_key"] or [
             R.Rule("unique_doc_id", "unique_key", column=key_column)
         ]
         for ur in uniq_rules:
-            v, x = run_phase(
+            run_phase(
                 f"uniqueness_{ur.rule_id}",
                 lambda ur=ur: dedup.uniqueness_check(
-                    documents, ur.column or key_column, ur.rule_id
+                    documents, ur.column or key_column, ur.rule_id,
+                    partition_totals=partition_totals,
                 ),
-            )
-            verdict_parts.append(v)
-            violation_parts.append(x)
-            lineage_parts.append(
-                lineage_from_verdicts(spark, [tuple(r) for r in v.collect()],
-                                      f"uniqueness_{ur.rule_id}", snapshot_id, rule_version)
             )
 
     if catalog is not None and "spans" in documents.columns:
-        v, x = run_phase(
-            "referential", lambda: refcheck.referential_check(documents, catalog)
-        )
-        verdict_parts.append(v)
-        violation_parts.append(x)
-        lineage_parts.append(
-            lineage_from_verdicts(spark, [tuple(r) for r in v.collect()],
-                                  "referential", snapshot_id, rule_version)
+        run_phase(
+            "referential",
+            lambda: refcheck.referential_check(
+                documents, catalog, partition_totals=partition_totals
+            ),
         )
 
     metrics = None
     if with_profile:
-        p = prof.profile(documents)
+        # date-format probing is for string business columns, not ids —
+        # skip it here (8 try_to_timestamp exprs per string col otherwise)
+        p = prof.profile(documents, detect_formats=False)
         metrics = p.metrics_df(spark)
         if ckpt and not ckpt.is_done("profile"):
             ckpt.write("profile", "metrics", metrics)
             ckpt.mark_done("profile")
 
-    verdicts = verdict_parts[0]
-    for v in verdict_parts[1:]:
-        verdicts = verdicts.unionByName(v)
+    verdicts = spark.createDataFrame(verdict_rows, R.VERDICT_SCHEMA)
     violations = violation_parts[0]
     for x in violation_parts[1:]:
         violations = violations.unionByName(x)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the engine's flagship end-to-end
+validation over a deterministically synthesized interleaved-spans
+documents table (seed 42). Everything else (logs) goes to stderr.
+
+Output:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "docs_per_sec": <validation throughput>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from automatic_data_validator_spark.session import get_spark
+    from automatic_data_validator_spark.synth import make_documents, make_media_catalog
+    from automatic_data_validator_spark.validate import run_validation
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("advs-bench", parallelism=cpus, shuffle_partitions=cpus * 2)
+    timings: dict[str, float] = {}
+
+    # --- operator micro-benchmarks over the TPC-H-ish tables ---------------
+    headline = [
+        "q01_pricing_summary",   # fused agg scan
+        "q05_quantiles",         # approx/exact percentile
+        "q12_corr_matrix",       # multi-corr single pass
+        "q20_window_topk_orders",  # window
+        "q23_unique_key_violations",  # two-phase salted dedup shuffle
+        "q26_token_counts",      # regex token counting
+        "q28_quality_flags",     # per-doc quality projection
+        "q31_ann_cosine_topk",   # brute-force ANN
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        log(f"{name}: {dt:.3f}s ({n} rows)")
+
+    # --- flagship: end-to-end validation on synthesized spans table --------
+    # Materialize the synthetic input to parquet first (untimed): the
+    # benchmark measures VALIDATION throughput over a stored table, the
+    # production shape — not expression re-generation cost.
+    import tempfile
+
+    n_media = max(n_docs // 100, 1000)
+    work = tempfile.mkdtemp(prefix="advs_bench_")
+    make_documents(spark, n_docs, n_media=n_media, seed=42).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/documents")
+    make_media_catalog(spark, n_media, seed=42).write.mode("overwrite").parquet(
+        f"{work}/media_catalog"
+    )
+    docs = spark.read.parquet(f"{work}/documents")
+    catalog = spark.read.parquet(f"{work}/media_catalog")
+    log(f"synth input materialized at {work}")
+    t0 = time.perf_counter()
+    res = run_validation(spark, docs, catalog=catalog, with_profile=True)
+    # production sink: write all outputs (each violation plan runs once)
+    res.violations.write.mode("overwrite").parquet(f"{work}/out/violations")
+    res.verdicts.write.mode("overwrite").parquet(f"{work}/out/verdicts")
+    res.metrics.write.mode("overwrite").parquet(f"{work}/out/metrics")
+    dt = time.perf_counter() - t0
+    n_viol = spark.read.parquet(f"{work}/out/violations").count()
+    timings["validate_e2e"] = round(dt, 3)
+    docs_per_sec = round(n_docs / dt, 1)
+    log(f"validate_e2e: {dt:.3f}s on {n_docs} docs -> {docs_per_sec} docs/s "
+        f"({n_viol} violation rows)")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_e2e_validation",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+                "cpus": cpus,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

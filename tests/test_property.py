@@ -1,0 +1,92 @@
+"""Property-based checks (SURVEY.md §5.2 item 4) with hypothesis on
+driver-side structures (t-digest) and seed-sweeps on Spark ops."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from automatic_data_validator_spark.drift import TDigest
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    a=st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=500),
+    b=st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=500),
+)
+def test_tdigest_merge_weight_and_bounds(a, b):
+    da, db = TDigest.from_values(np.array(a)), TDigest.from_values(np.array(b))
+    m = da.merge(db)
+    assert math.isclose(m.total_weight, len(a) + len(b))
+    assert m.min_val == min(min(a), min(b))
+    assert m.max_val == max(max(a), max(b))
+    q = m.quantile(0.5)
+    assert m.min_val <= q <= m.max_val
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(-10_000_000, 10_000_000).map(float),
+        min_size=20, max_size=2000, unique=True,
+    )
+)  # unique + well-conditioned: cdf∘quantile inversion is ill-posed for
+#    point masses and for subnormal-gap neighbors (interp overflow)
+def test_tdigest_quantile_monotonic_and_cdf_inverse(vals):
+    d = TDigest.from_values(np.array(vals))
+    qs = [d.quantile(q) for q in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    assert qs == sorted(qs)
+    if d.max_val - d.min_val < 1e-9:
+        return  # constant data: cdf is a step, inverse is ill-defined
+    for q, x in zip((0.1, 0.5, 0.9), (qs[0], qs[2], qs[4])):
+        assert abs(d.cdf(x) - q) < 0.2  # loose inverse within digest error
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(st.floats(0, 1000), min_size=50, max_size=1000),
+    cut=st.integers(1, 49),
+)
+def test_tdigest_partition_invariance(vals, cut):
+    """merge(sketch(A), sketch(B)) ~= sketch(A u B) — the property that
+    makes per-partition sketching correct."""
+    arr = np.array(vals)
+    whole = TDigest.from_values(arr)
+    parts = TDigest.from_values(arr[:cut]).merge(TDigest.from_values(arr[cut:]))
+    spread = max(whole.max_val - whole.min_val, 1e-9)
+    for q in (0.25, 0.5, 0.75):
+        assert abs(whole.quantile(q) - parts.quantile(q)) / spread < 0.05
+
+
+# --- Spark-side properties (seed sweep instead of hypothesis: each
+# case costs a Spark job) --------------------------------------------------
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_dedup_idempotent_under_partitioning(spark, docs, n_parts):
+    from automatic_data_validator_spark.dedup import duplicate_key_counts
+
+    d = docs.repartition(n_parts)
+    got = sorted(
+        (r["doc_id"], r["dup_count"])
+        for r in duplicate_key_counts(d, "doc_id").collect()
+    )
+    base = sorted(
+        (r["doc_id"], r["dup_count"])
+        for r in duplicate_key_counts(docs, "doc_id").collect()
+    )
+    assert got == base
+
+
+def test_verdict_totals_partition_invariant(spark, docs):
+    from automatic_data_validator_spark import rules as R
+    from automatic_data_validator_spark.validate import DEFAULT_RULES
+
+    def totals(df):
+        v, _ = R.evaluate_row_rules(df, R.row_level(DEFAULT_RULES))
+        rows = v.groupBy("rule_id").agg({"violation_count": "sum"}).collect()
+        return {r["rule_id"]: r["sum(violation_count)"] for r in rows}
+
+    assert totals(docs) == totals(docs.repartition(11))

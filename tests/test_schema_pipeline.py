@@ -1,0 +1,120 @@
+"""Cast plan, pipeline emission, profile extensions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark import rules as R
+from automatic_data_validator_spark.correct import CorrectionPlan
+from automatic_data_validator_spark.pipeline import emit_manifest, emit_pipeline
+from automatic_data_validator_spark.profile import (
+    correlation_pairs,
+    missing_pattern,
+    profile,
+    topk_values,
+)
+from automatic_data_validator_spark.schema import (
+    CastSpec,
+    apply_cast_plan,
+    suggest_cast_plan,
+    validate_cast_plan,
+)
+
+
+def test_cast_plan_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {
+            "num_str": ["1", "2", "3", "oops"],
+            "date_str": ["2023-01-01", "2023-02-01", "bad", "2023-04-01"],
+            "flag": ["yes", "no", "TRUE", "maybe"],
+            "keep": [1, 2, 3, 4],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plan = [
+        CastSpec("num_str", "bigint"),
+        CastSpec("date_str", "date", fmt="yyyy-MM-dd"),
+        CastSpec("flag", "boolean"),
+    ]
+    rep = validate_cast_plan(df, plan)
+    assert rep["num_str"]["nulls_created"] == 1
+    assert rep["date_str"]["nulls_created"] == 1
+    assert rep["flag"]["nulls_created"] == 1
+    out = apply_cast_plan(df, plan)
+    types = dict(out.dtypes)
+    assert types == {"num_str": "bigint", "date_str": "date",
+                     "flag": "boolean", "keep": "bigint"}
+    rows = out.orderBy("keep").collect()
+    assert rows[0]["num_str"] == 1 and rows[3]["num_str"] is None
+    assert rows[2]["flag"] is True and rows[3]["flag"] is None
+
+
+def test_suggest_cast_plan_from_profile(spark):
+    pdf = pd.DataFrame(
+        {
+            "as_num": [str(i) for i in range(100)],
+            "as_date": pd.date_range("2020-01-01", periods=100).strftime("%Y-%m-%d"),
+            "plain": ["x"] * 100,
+        }
+    )
+    p = profile(spark.createDataFrame(pdf), exact_distinct=True)
+    plan = {s.column: s for s in suggest_cast_plan(p.suggestions)}
+    assert plan["as_num"].target == "double"
+    assert plan["as_date"].target == "timestamp" and plan["as_date"].fmt == "yyyy-MM-dd"
+    assert "plain" not in plan
+
+
+def test_pipeline_emission_deterministic_and_valid_python(tmp_path):
+    rules = [
+        R.Rule("not_null_doc_id", "not_null", column="doc_id"),
+        R.Rule("span_order", "span_order", column="spans"),
+    ]
+    plan = CorrectionPlan(dedup_keys=["doc_id"], order_key="doc_id")
+    s1 = emit_pipeline(rules, plan)
+    s2 = emit_pipeline(rules, plan)
+    assert s1 == s2  # byte-stable
+    compile(s1, "advs_pipeline.py", "exec")  # syntactically valid
+    m = emit_manifest(rules, plan)
+    assert m["rules"][0]["rule_id"] == "not_null_doc_id"
+    assert "cleaned" in m["outputs"]
+
+
+def test_correlation_pairs(spark):
+    rng = np.random.RandomState(0)
+    a = rng.normal(size=3000)
+    pdf = pd.DataFrame({"a": a, "b": a * 2 + rng.normal(scale=0.01, size=3000),
+                        "c": rng.normal(size=3000)})
+    pairs = {(p["col_a"], p["col_b"]): p for p in correlation_pairs(spark.createDataFrame(pdf))}
+    assert pairs[("a", "b")]["high"] is True
+    assert abs(pairs[("a", "b")]["corr"] - np.corrcoef(a, pdf["b"])[0, 1]) < 1e-6
+    assert pairs[("a", "c")]["high"] is False
+
+
+def test_missing_pattern(spark):
+    pdf = pd.DataFrame(
+        {
+            "x": [None if i % 5 == 0 else 1.0 for i in range(1000)],
+            "y": [None if i % 5 == 0 else 2.0 for i in range(1000)],  # co-missing
+            "z": [None if i % 7 == 0 else 3.0 for i in range(1000)],
+        }
+    )
+    rep = missing_pattern(spark.createDataFrame(pdf))
+    cm = {(c["col_a"], c["col_b"]) for c in rep["correlated_missing"]}
+    assert ("x", "y") in cm
+    oracle_multi = int((pdf.isna().sum(axis=1) > 1).sum())
+    assert rep["rows_multi_missing"] == oracle_multi
+
+
+def test_topk_values(spark):
+    pdf = pd.DataFrame(
+        {"u": ["a"] * 50 + ["b"] * 30 + ["c"] * 20, "v": ["x"] * 99 + ["y"]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = topk_values(df, ["u", "v"], k=2).collect()
+    by_col = {}
+    for r in got:
+        by_col.setdefault(r["col_name"], []).append((r["rnk"], r["value"], r["cnt"]))
+    assert sorted(by_col["u"]) == [(1, "a", 50), (2, "b", 30)]
+    assert sorted(by_col["v"]) == [(1, "x", 99), (2, "y", 1)]

@@ -1,0 +1,73 @@
+"""Checkpoint/resume semantics (SURVEY.md §5.2 item 6): interrupt
+after phase k, restart, identical outputs, no duplicated lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from automatic_data_validator_spark.state import Checkpointer
+from automatic_data_validator_spark.validate import canonical_violations, run_validation
+
+
+def _viol_key(df):
+    return sorted(
+        (r["doc_id"], r["rule_id"], r["detail"])
+        for r in df.select("doc_id", "rule_id", "detail").collect()
+    )
+
+
+def test_resume_after_partial_run(spark, docs, catalog, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    full = run_validation(spark, docs, catalog=catalog, checkpoint_dir=ck,
+                          with_profile=False)
+    golden_verdicts = sorted(map(tuple, full.verdicts.collect()))
+    golden_viols = _viol_key(full.violations)
+
+    # simulate a crash after phase 1: drop later phases from _state.json
+    state_path = os.path.join(ck, "_state.json")
+    state = json.load(open(state_path))
+    assert len(state["completed"]) >= 3
+    state["completed"] = state["completed"][:1]
+    json.dump(state, open(state_path, "w"))
+
+    resumed = run_validation(spark, docs, catalog=catalog, checkpoint_dir=ck,
+                             with_profile=False)
+    assert sorted(map(tuple, resumed.verdicts.collect())) == golden_verdicts
+    assert _viol_key(resumed.violations) == golden_viols
+    # lineage has exactly one row per (phase, partition) — no dupes
+    lin = resumed.lineage.groupBy("phase", "partition_id", "op").count()
+    assert lin.filter(F.col("count") > 1).count() == 0
+
+
+def test_stale_checkpoint_invalidated_by_rule_version(spark, docs, tmp_path):
+    ck = str(tmp_path / "ckpt2")
+    run_validation(spark, docs, checkpoint_dir=ck, rule_version="v1",
+                   with_profile=False)
+    c = Checkpointer(ck, "snap-0", "v2")
+    assert not c.is_done("row_rules")  # different rule version -> stale
+    c_same = Checkpointer(ck, "snap-0", "v1")
+    assert c_same.is_done("row_rules")
+
+
+def test_canonical_violations_golden_serialization(spark, docs, catalog):
+    """Byte-match contract: canonical JSON-lines serialization of the
+    violations is identical across runs and partitionings."""
+    r1 = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    r2 = run_validation(spark, docs.repartition(13), catalog=catalog,
+                        with_profile=False)
+
+    def dump(res):
+        rows = canonical_violations(res.violations).select(
+            "doc_id", "rule_id", "detail"
+        ).collect()
+        return "\n".join(
+            json.dumps({"doc_id": r["doc_id"], "rule_id": r["rule_id"],
+                        "detail": r["detail"]}, sort_keys=True)
+            for r in rows
+        )
+
+    assert dump(r1) == dump(r2)
