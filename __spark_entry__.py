@@ -517,6 +517,64 @@ def q34_embedding_norm_stats(spark, sf):
     )
 
 
+def q35_categorical_inconsistency(spark, sf):
+    from automatic_data_validator_spark.profile import categorical_inconsistency
+
+    d = _t(spark, sf, "documents")
+    variants = d.select(
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("city")
+    )
+    return categorical_inconsistency(variants, "city")
+
+
+def q36_jarque_bera(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    agg = li.agg(
+        F.count("l_quantity").alias("n"),
+        F.skewness("l_quantity").alias("s"),
+        F.kurtosis("l_quantity").alias("k"),
+    )
+    return agg.select(
+        F.round(F.col("n") / 6.0 * (F.col("s") * F.col("s") + F.col("k") * F.col("k") / 4.0), 0)
+        .alias("jb"),
+    ).select("jb", (F.col("jb") > 5.99).alias("reject_normality"))
+
+
+def q37_cube_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q38_chunk_counts(spark, sf):
+    from automatic_data_validator_spark.textops import chunk_text
+
+    d = _t(spark, sf, "documents")
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        F.size(chunk_text("text", chunk_words=64, overlap_words=8)).alias("n_chunks"),
+    )
+
+
+def q39_stopword_removal(spark, sf):
+    from automatic_data_validator_spark.textops import remove_stopwords
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.length("text").cast("long")).alias("len_raw"),
+        F.sum(F.length(remove_stopwords("text")).cast("long")).alias("len_nostop"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -553,6 +611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_minhash_pairs": q32_minhash_pairs,
         "q33_span_validation": q33_span_validation,
         "q34_embedding_norm_stats": q34_embedding_norm_stats,
+        "q35_categorical_inconsistency": q35_categorical_inconsistency,
+        "q36_jarque_bera": q36_jarque_bera,
+        "q37_cube_rollup": q37_cube_rollup,
+        "q38_chunk_counts": q38_chunk_counts,
+        "q39_stopword_removal": q39_stopword_removal,
     }
 
 
@@ -836,5 +899,61 @@ def oracle_sql() -> dict[str, str]:
                    round(min(nrm), 4) AS min_norm,
                    round(max(nrm), 4) AS max_norm
             FROM n GROUP BY label
+        """,
+        "q35_categorical_inconsistency": """
+            WITH v AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                          ELSE source END AS value
+              FROM documents),
+            c AS (
+              SELECT value, count(*) AS cnt, lower(trim(value)) AS norm_key
+              FROM v GROUP BY value),
+            g AS (
+              SELECT *, count(*) OVER (PARTITION BY norm_key) AS nv,
+                     row_number() OVER (PARTITION BY norm_key
+                                        ORDER BY cnt DESC, value ASC) AS rn
+              FROM c)
+            SELECT norm_key, value, cnt, rn = 1 AS is_canonical
+            FROM g WHERE nv > 1
+        """,
+        "q36_jarque_bera": """
+            WITH m AS (SELECT avg(l_quantity) AS mu, count(*) AS n FROM lineitem),
+            c AS (
+              SELECT n,
+                     avg(pow(l_quantity - mu, 2)) AS m2,
+                     avg(pow(l_quantity - mu, 3)) AS m3,
+                     avg(pow(l_quantity - mu, 4)) AS m4
+              FROM lineitem, m GROUP BY n),
+            j AS (
+              SELECT round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                     + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 0) AS jb
+              FROM c)
+            SELECT jb, jb > 5.99 AS reject_normality FROM j
+        """,
+        "q37_cube_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q38_chunk_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+                   CAST(greatest(ceil((len(regexp_split_to_array(trim(text), '\s+')) - 8)
+                                      / 56.0), 1) AS INT) AS n_chunks
+            FROM documents
+        """,
+        "q39_stopword_removal": r"""
+            SELECT lang,
+                   CAST(sum(length(text)) AS BIGINT) AS len_raw,
+                   CAST(sum(length(array_to_string(list_filter(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        w -> NOT list_contains(
+                          ['the','a','an','and','or','but','in','on','at','to',
+                           'for','of','with','by','is','are','was','were','be',
+                           'been','it','this','that','as','from'], lower(w))),
+                        ' '))) AS BIGINT) AS len_nostop
+            FROM documents GROUP BY lang
         """,
     }

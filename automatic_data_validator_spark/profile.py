@@ -23,6 +23,7 @@ Statistic semantics mirror the reference:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -223,6 +224,57 @@ def _suggest(p: ProfileResult) -> dict[str, dict[str, Any]]:
         sug["suggested_dtype"] = suggested
         out[c] = sug
     return out
+
+
+def normality_jarque_bera(p: ProfileResult, column: str) -> dict[str, Any]:
+    """Normality check from the fused profile's moments (reference uses
+    Shapiro on a <=5000 sample, data_analyzer.py:378-388 — scipy is not
+    assumed here, and at 10^12 rows a moment-based test over the FULL
+    data beats a sampled Shapiro anyway).
+
+    Jarque-Bera: JB = n/6 * (S^2 + K^2/4); under normality JB ~ chi2(2),
+    so p = exp(-JB/2). Flagged approximate in the report."""
+    st = p.stats.get(column, {})
+    n = st.get("non_null_count") or 0
+    s = st.get("skewness")
+    k = st.get("kurtosis")
+    if not n or s is None or k is None:
+        return {"column": column, "is_normal": None, "jb": None, "p_value": None}
+    jb = n / 6.0 * (s * s + (k * k) / 4.0)
+    p_value = math.exp(-jb / 2.0) if jb < 1400 else 0.0
+    return {
+        "column": column,
+        "jb": jb,
+        "p_value": p_value,
+        "is_normal": p_value > 0.05,
+        "method": "jarque_bera_from_full_moments (approximate)",
+    }
+
+
+def categorical_inconsistency(
+    df: DataFrame, column: str, max_groups: int = 1000
+) -> DataFrame:
+    """Case/whitespace variant groups (reference data_analyzer.py:308-330):
+    values that collapse to the same lower(trim) key but differ raw.
+    Canonical suggestion = most frequent variant, ties broken by value
+    (W1 window). Returns (norm_key, value, cnt, is_canonical)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("norm_key", F.lower(F.trim(F.col("value"))))
+    )
+    w_var = Window.partitionBy("norm_key")
+    w_rank = Window.partitionBy("norm_key").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("n_variants", F.count(F.lit(1)).over(w_var))
+        .filter(F.col("n_variants") > 1)
+        .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
+        .select("norm_key", "value", "cnt", "is_canonical")
+        .limit(max_groups)
+    )
 
 
 def correlation_pairs(

@@ -175,6 +175,46 @@ def token_count_bpe(col) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(_BPE_REGEX), F.lit(0)))
 
 
+# --- chunking (reference text_processor.py:355-426) -------------------------
+
+def chunk_text(col, chunk_words: int = 64, overlap_words: int = 8) -> Column:
+    """Split text into overlapping word-window chunks — the reference's
+    chunk_text_for_vector_db as one expression. Returns
+    array<struct<id:int, text:string, length:int, n_words:int>>;
+    stride = chunk_words - overlap_words."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    n = F.size(words)
+    stride = max(chunk_words - overlap_words, 1)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap_words)).cast("double") / stride).cast("int"),
+        F.lit(1),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("id"),
+            F.array_join(F.slice(words, i * stride + 1, chunk_words), " ").alias("text"),
+            F.length(
+                F.array_join(F.slice(words, i * stride + 1, chunk_words), " ")
+            ).alias("length"),
+            F.least(n - i * stride, F.lit(chunk_words)).cast("int").alias("n_words"),
+        ),
+    )
+
+
+def remove_stopwords(col, stopwords: list[str] | None = None) -> Column:
+    """Filter stopwords out of the text (reference templates use NLTK,
+    text_processor.py:489-518; same semantics, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stops = F.array(*[F.lit(w) for w in (stopwords or config.EN_STOPWORDS)])
+    kept = F.filter(
+        F.split(F.trim(c), r"\s+"),
+        lambda w: ~F.array_contains(stops, F.lower(w)),
+    )
+    return F.array_join(kept, " ")
+
+
 # --- fingerprinting ---------------------------------------------------------
 
 def doc_fingerprint(col) -> Column:

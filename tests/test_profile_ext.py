@@ -1,0 +1,55 @@
+"""Normality, categorical inconsistency, chunking, stopword removal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark.profile import (
+    categorical_inconsistency,
+    normality_jarque_bera,
+    profile,
+)
+from automatic_data_validator_spark.textops import chunk_text, remove_stopwords
+
+
+def test_jarque_bera_from_profile(spark):
+    rng = np.random.RandomState(42)
+    pdf = pd.DataFrame(
+        {"normal": rng.normal(0, 1, 20_000), "skewed": rng.exponential(1, 20_000)}
+    )
+    p = profile(spark.createDataFrame(pdf))
+    assert normality_jarque_bera(p, "normal")["is_normal"] is True
+    assert normality_jarque_bera(p, "skewed")["is_normal"] is False
+
+
+def test_categorical_inconsistency(spark):
+    vals = (["New York"] * 50 + ["new york"] * 10 + [" New York "] * 5
+            + ["Boston"] * 30)
+    df = spark.createDataFrame(pd.DataFrame({"city": vals}))
+    rows = categorical_inconsistency(df, "city").collect()
+    keys = {r["norm_key"] for r in rows}
+    assert keys == {"new york"}  # Boston has one variant -> excluded
+    canon = [r["value"] for r in rows if r["is_canonical"]]
+    assert canon == ["New York"]  # most frequent variant wins
+    assert len(rows) == 3
+
+
+def test_chunk_text_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(pd.DataFrame({"t": [text]}))
+    chunks = df.select(chunk_text("t", chunk_words=64, overlap_words=8).alias("c")).collect()[0]["c"]
+    assert len(chunks) == 3  # stride 56: covers 150 words in 3 chunks
+    assert chunks[0]["n_words"] == 64
+    w0 = chunks[0]["text"].split()
+    w1 = chunks[1]["text"].split()
+    assert w0[56:] == w1[:8]  # overlap region preserved
+    # full coverage: last word present in last chunk
+    assert "w149" in chunks[-1]["text"].split()
+
+
+def test_remove_stopwords(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["the cat and THE dog on a mat"]}))
+    out = df.select(remove_stopwords("t").alias("r")).collect()[0]["r"]
+    assert out == "cat dog mat"
