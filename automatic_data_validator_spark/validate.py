@@ -18,6 +18,7 @@ passes replaced by four lazy plans.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,9 +63,12 @@ def run_validation(
         if checkpoint_dir
         else None
     )
+    import threading
+
     verdict_rows: list[tuple] = []
     violation_parts: list[DataFrame] = []
     lineage_parts: list[DataFrame] = []
+    _acc_lock = threading.Lock()
 
     def run_phase(name: str, fn) -> list[tuple]:
         """Run or resume one phase.
@@ -77,7 +81,8 @@ def run_validation(
         """
         if ckpt and ckpt.is_done(name):
             v_rows = [tuple(r) for r in ckpt.read(spark, name, "verdicts").collect()]
-            violation_parts.append(ckpt.read(spark, name, "violations"))
+            with _acc_lock:
+                violation_parts.append(ckpt.read(spark, name, "violations"))
         else:
             verdicts, violations = fn()
             v_rows = [tuple(r) for r in verdicts.collect()]
@@ -87,11 +92,13 @@ def run_validation(
                 ckpt.write(name, "violations", violations)
                 violations = ckpt.read(spark, name, "violations")
                 ckpt.mark_done(name)
-            violation_parts.append(violations)
-        verdict_rows.extend(v_rows)
-        lineage_parts.append(
-            lineage_from_verdicts(spark, v_rows, name, snapshot_id, rule_version)
-        )
+            with _acc_lock:
+                violation_parts.append(violations)
+        with _acc_lock:
+            verdict_rows.extend(v_rows)
+            lineage_parts.append(
+                lineage_from_verdicts(spark, v_rows, name, snapshot_id, rule_version)
+            )
         return v_rows
 
     row_rules = R.row_level(rule_set)
@@ -107,36 +114,58 @@ def run_validation(
         for r in rr_rows:
             partition_totals[int(r[0])] = int(r[2])
 
+    # The remaining phases are independent reads of the same input:
+    # submit them CONCURRENTLY (Spark job submission is thread-safe).
+    # Sequential phases leave executor slots idle during each phase's
+    # small final stages; overlapping them keeps the cluster saturated
+    # — measured wall-time win grows with core count.
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks: list[tuple[str, Any]] = []
     if check_uniqueness or any(r.kind == "unique_key" for r in rule_set):
         uniq_rules = [r for r in rule_set if r.kind == "unique_key"] or [
             R.Rule("unique_doc_id", "unique_key", column=key_column)
         ]
         for ur in uniq_rules:
-            run_phase(
-                f"uniqueness_{ur.rule_id}",
-                lambda ur=ur: dedup.uniqueness_check(
-                    documents, ur.column or key_column, ur.rule_id,
-                    partition_totals=partition_totals,
-                ),
+            tasks.append(
+                (
+                    f"uniqueness_{ur.rule_id}",
+                    lambda ur=ur: dedup.uniqueness_check(
+                        documents, ur.column or key_column, ur.rule_id,
+                        partition_totals=partition_totals,
+                    ),
+                )
             )
 
     if catalog is not None and "spans" in documents.columns:
-        run_phase(
-            "referential",
-            lambda: refcheck.referential_check(
-                documents, catalog, partition_totals=partition_totals
-            ),
+        tasks.append(
+            (
+                "referential",
+                lambda: refcheck.referential_check(
+                    documents, catalog, partition_totals=partition_totals
+                ),
+            )
         )
 
     metrics = None
-    if with_profile:
-        # date-format probing is for string business columns, not ids —
-        # skip it here (8 try_to_timestamp exprs per string col otherwise)
-        p = prof.profile(documents, detect_formats=False)
-        metrics = p.metrics_df(spark)
-        if ckpt and not ckpt.is_done("profile"):
-            ckpt.write("profile", "metrics", metrics)
-            ckpt.mark_done("profile")
+    metrics_future = None
+    with ThreadPoolExecutor(max_workers=max(len(tasks) + 1, 1)) as pool:
+        if with_profile:
+            # date-format probing is for string business columns, not
+            # ids — skip (8 try_to_timestamp exprs per string col)
+            metrics_future = pool.submit(
+                lambda: prof.profile(documents, detect_formats=False)
+            )
+        phase_futures = [
+            (name, pool.submit(run_phase, name, fn)) for name, fn in tasks
+        ]
+        for _name, fut in phase_futures:
+            fut.result()
+        if metrics_future is not None:
+            metrics = metrics_future.result().metrics_df(spark)
+            if ckpt and not ckpt.is_done("profile"):
+                ckpt.write("profile", "metrics", metrics)
+                ckpt.mark_done("profile")
 
     verdicts = spark.createDataFrame(verdict_rows, R.VERDICT_SCHEMA)
     violations = violation_parts[0]

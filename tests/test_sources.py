@@ -1,0 +1,66 @@
+"""Sources/sinks: csv round-trip with encoding fallback path, json
+nesting preserved, flatten opt-in, file stats."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from automatic_data_validator_spark import sources as S
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "x.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("id,name,score\n1,alice,3.5\n2,bob,4.0\n3,,2.5\n")
+    df = S.read_csv(spark, p)
+    assert df.count() == 3
+    assert dict(df.dtypes)["id"] in ("int", "bigint")
+    out = str(tmp_path / "out_csv")
+    S.write_output(df, out, fmt="csv")
+    back = S.read_csv(spark, out)
+    assert back.count() == 3
+
+
+def test_csv_latin1_fallback(spark, tmp_path):
+    p = str(tmp_path / "latin.csv")
+    with open(p, "wb") as f:
+        f.write("name\ncaf\xe9\n".encode("latin-1"))
+    df = S.read_csv(spark, p, inferSchema=False)
+    vals = [r["name"] for r in df.collect()]
+    assert len(vals) == 1  # readable through the fallback chain
+
+
+def test_json_keeps_nesting_and_flatten_optin(spark, tmp_path):
+    p = str(tmp_path / "x.json")
+    rows = [{"id": 1, "meta": {"a": 1, "b": "x"}}, {"id": 2, "meta": {"a": 2, "b": "y"}}]
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    df = S.read_json(spark, p, multiline=False)
+    # nested struct preserved (reference flattens destructively; we don't)
+    assert df.schema["meta"].dataType.typeName() == "struct"
+    flat = S.flatten_struct(df)
+    assert "meta.a" in flat.columns and flat.count() == 2
+
+
+def test_read_text_and_whole_file(spark, tmp_path):
+    p = str(tmp_path / "t.txt")
+    with open(p, "w") as f:
+        f.write("line one\nline two\n")
+    assert S.read_text(spark, p).count() == 2
+    whole = S.read_text(spark, p, whole_file=True)
+    assert whole.count() == 1 and "line one" in whole.collect()[0]["value"]
+
+
+def test_read_table_parquet_path(spark):
+    df = S.read_table(spark, "/root/testdata/sf0.001/region.parquet")
+    assert df.count() > 0
+
+
+def test_file_stats(spark, docs):
+    st = S.file_stats(docs)
+    assert st["rows"] == 5000 and st["columns"] == 2
+    assert st["column_kinds"]["string"] == 1  # doc_id
+    assert st["column_kinds"]["nested"] == 1  # spans
