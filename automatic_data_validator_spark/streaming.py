@@ -1,0 +1,83 @@
+"""Structured Streaming wrapper.
+
+The reference is batch-only and so is north_rule (snapshot-checkpointed
+scans) — SURVEY.md §2.10. But because every check in this engine is a
+commutative partial aggregation (per-partition verdict counts, rule
+predicates, mergeable sketches), wrapping them for streams needs no new
+operator code: ``foreachBatch`` applies the SAME row-level rule
+evaluation to each micro-batch and appends verdicts/violations to the
+sink, keyed by batch id. This module is that thin wrapper plus a
+watermarked windowed-quality aggregation for late data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import rules as R
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    rule_set: list[R.Rule],
+    output_dir: str,
+    checkpoint_dir: str,
+    key_column: str = "doc_id",
+    trigger_seconds: int | None = None,
+):
+    """Attach batch rule evaluation to a streaming DataFrame.
+
+    Each micro-batch runs the identical single-pass rule evaluation
+    (rules.evaluate_row_rules) and appends:
+      {output_dir}/verdicts    (batch_id, partition_id, rule_id, ...)
+      {output_dir}/violations  (batch_id, doc_id, rule_id, ...)
+    Returns the StreamingQuery.
+    """
+    row_rules = R.row_level(rule_set)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts, violations = R.evaluate_row_rules(batch_df, row_rules, key_column)
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{output_dir}/verdicts"
+        )
+        violations.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{output_dir}/violations"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_quality(
+    stream_df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked per-window text-quality aggregation (late data
+    handled by the watermark): returns a streaming DataFrame of
+    (window, n_docs, avg_words, n_empty)."""
+    words = F.when(F.trim(text_col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text_col), r"\s+"))
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(words).alias("avg_words"),
+            F.sum((F.col(text_col) == "").cast("long")).alias("n_empty"),
+        )
+    )
