@@ -40,6 +40,29 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+def snapshot_of(df: DataFrame) -> str:
+    """Deterministic snapshot id for a DataFrame's input: Iceberg
+    snapshot id when the relation exposes one; else a hash of the
+    input file list (path, size) — so a resumed run against CHANGED
+    input invalidates stale checkpoints instead of reusing them."""
+    import hashlib
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return "snap-inline"
+    h = hashlib.md5()
+    for f in files:
+        h.update(f.encode())
+        try:
+            h.update(str(os.path.getsize(f.replace("file:", ""))).encode())
+        except OSError:
+            pass
+    return "snap-" + h.hexdigest()[:16]
+
+
 @dataclass
 class Checkpointer:
     root: str

@@ -58,6 +58,10 @@ def run_validation(
     check_uniqueness: bool = True,
 ) -> ValidationResult:
     rule_set = rule_set if rule_set is not None else list(DEFAULT_RULES)
+    if snapshot_id == "auto":
+        from .state import snapshot_of
+
+        snapshot_id = snapshot_of(documents)
     ckpt = (
         Checkpointer(checkpoint_dir, snapshot_id, rule_version)
         if checkpoint_dir
