@@ -207,6 +207,60 @@ def sketch_columns(
     return {c: TDigest.merge_all(ds, compression) for c, ds in merged.items() if ds}
 
 
+def sketch_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    compression: float = 200.0,
+) -> dict[str, TDigest]:
+    """One t-digest per group via groupBy().applyInPandas — the
+    canonical Python-UDAF workaround (SURVEY.md §2.9 U3/U4): each
+    group's Arrow batches fold into one digest; the driver receives one
+    serialized row per group. The shuffle moves (group, value) pairs
+    only."""
+    schema = T.StructType(
+        [
+            T.StructField("group", T.StringType(), False),
+            T.StructField("sketch", T.StringType(), False),
+        ]
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(dtype=np.float64)
+        d = TDigest.from_values(vals, compression)
+        return pd.DataFrame({"group": [str(key[0])], "sketch": [d.serialize()]})
+
+    rows = (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(build, schema)
+        .collect()
+    )
+    return {r["group"]: TDigest.deserialize(r["sketch"]) for r in rows}
+
+
+def grouped_drift_report(
+    current_df: DataFrame,
+    baseline_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> list[dict]:
+    """Per-group KS/PSI between two snapshots of the same table."""
+    cur = sketch_by_group(current_df, group_col, value_col)
+    base = sketch_by_group(baseline_df, group_col, value_col)
+    out = []
+    for g in sorted(set(cur) & set(base)):
+        k = ks_statistic(cur[g], base[g])
+        p = psi(cur[g], base[g])
+        out.append(
+            {"group": g, "ks": k, "psi": p,
+             "drifted": bool(k > ks_threshold or p > psi_threshold)}
+        )
+    return out
+
+
 # --- drift statistics ---------------------------------------------------------
 
 def ks_statistic(current: TDigest, baseline: TDigest, grid_size: int = 200) -> float:

@@ -13,12 +13,11 @@ nulls-created per cast, again one pass.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import config
 
 _BOOL_TRUE = ["true", "1", "yes", "y", "t"]
 _BOOL_FALSE = ["false", "0", "no", "n", "f"]

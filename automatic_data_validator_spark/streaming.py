@@ -12,7 +12,6 @@ watermarked windowed-quality aggregation for late data.
 
 from __future__ import annotations
 
-from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -141,3 +141,24 @@ def test_cap_outliers(spark):
     assert "x" in plan.caps
     mx = cleaned.agg({"x": "max"}).collect()[0][0]
     assert mx < 10_000.0
+
+
+def test_sketch_by_group_and_grouped_drift(spark):
+    rng = np.random.RandomState(11)
+    base = pd.DataFrame(
+        {
+            "g": ["a"] * 4000 + ["b"] * 4000,
+            "v": np.concatenate([rng.normal(0, 1, 4000), rng.normal(5, 1, 4000)]),
+        }
+    )
+    cur = base.copy()
+    cur.loc[cur.g == "b", "v"] += 3.0  # drift group b only
+    from automatic_data_validator_spark.drift import grouped_drift_report, sketch_by_group
+
+    sk = sketch_by_group(spark.createDataFrame(base), "g", "v")
+    assert abs(sk["a"].quantile(0.5) - 0.0) < 0.15
+    assert abs(sk["b"].quantile(0.5) - 5.0) < 0.15
+    rep = {r["group"]: r for r in grouped_drift_report(
+        spark.createDataFrame(cur), spark.createDataFrame(base), "g", "v")}
+    assert rep["a"]["drifted"] is False
+    assert rep["b"]["drifted"] is True
