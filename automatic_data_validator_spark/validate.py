@@ -23,7 +23,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, profile as prof, refcheck, rules as R
+from . import dedup, refcheck, rules as R
+from .profile import profile as _profile
 from .state import Checkpointer, lineage_from_verdicts
 
 DEFAULT_RULES: list[R.Rule] = [
@@ -158,7 +159,7 @@ def run_validation(
             # date-format probing is for string business columns, not
             # ids — skip (8 try_to_timestamp exprs per string col)
             metrics_future = pool.submit(
-                lambda: prof.profile(documents, detect_formats=False)
+                lambda: _profile(documents, detect_formats=False)
             )
         phase_futures = [
             (name, pool.submit(run_phase, name, fn)) for name, fn in tasks

@@ -125,3 +125,26 @@ def test_lsh_topk_recall(spark):
     )
     assert 5 in approx  # self found
     assert len(exact & approx) >= 6  # recall@10 >= 0.6 on clustered data
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(8, 16)) * 5
+    vecs = np.vstack(
+        [centers[i % 8] + rng.normal(scale=0.4, size=16) for i in range(400)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7], "embedding": [vecs[7].tolist()]})
+    )
+    assigned, cents = S.ivf_index(df, n_lists=8)
+    assert len(cents) == 8
+    exact = [r["neighbor_id"] for r in S.brute_force_topk(df, queries, k=10).collect()]
+    approx = {
+        r["neighbor_id"]
+        for r in S.ivf_topk(assigned, cents, queries, k=10, nprobe=2).collect()
+    }
+    assert 7 in approx
+    assert len(set(exact) & approx) >= 8  # clustered data: near-full recall
