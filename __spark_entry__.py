@@ -575,6 +575,41 @@ def q39_stopword_removal(spark, sf):
     )
 
 
+def q40_pivot(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+def q41_setops(spark, sf):
+    o = _t(spark, sf, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    both = y94.intersect(y95)
+    only94 = y94.distinct().exceptAll(y95.distinct())
+    return both.agg(F.count(F.lit(1)).alias("n_both")).crossJoin(
+        only94.agg(F.count(F.lit(1)).alias("n_only_1994"))
+    )
+
+
+def q42_date_arith(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span_days"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -616,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_cube_rollup": q37_cube_rollup,
         "q38_chunk_counts": q38_chunk_counts,
         "q39_stopword_removal": q39_stopword_removal,
+        "q40_pivot": q40_pivot,
+        "q41_setops": q41_setops,
+        "q42_date_arith": q42_date_arith,
     }
 
 
@@ -955,5 +993,28 @@ def oracle_sql() -> dict[str, str]:
                            'been','it','this','that','as','from'], lower(w))),
                         ' '))) AS BIGINT) AS len_nostop
             FROM documents GROUP BY lang
+        """,
+        "q40_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q41_setops": """
+            WITH y94 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+                 y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+            SELECT
+              (SELECT count(*) FROM (SELECT o_custkey FROM y94 INTERSECT
+                                     SELECT o_custkey FROM y95)) AS n_both,
+              (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM y94 EXCEPT ALL
+                                     SELECT DISTINCT o_custkey FROM y95)) AS n_only_1994
+        """,
+        "q42_date_arith": """
+            SELECT o_orderpriority,
+                   strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+                   strftime(max(o_orderdate), '%Y-%m-%d') AS last_day,
+                   CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS INT) AS span_days,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
         """,
     }
