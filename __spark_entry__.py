@@ -610,6 +610,68 @@ def q42_date_arith(spark, sf):
     )
 
 
+def _quality_projection(spark, sf):
+    """Shared 4-column projection for q43/q44: one numeric outlier
+    source, one nullable numeric, one mixed-type string, one pure-text
+    string — every quality-score deduction term is exercised."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_totalprice"),
+        F.when(F.pmod("o_orderkey", F.lit(50)) == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey_n"),
+        F.when(F.pmod("o_orderkey", F.lit(10)) == 0, F.col("o_custkey").cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_mixed"),
+        F.col("o_orderpriority"),
+    )
+
+
+def _round_half_up(x: float, d: int) -> float:
+    """floor(x*10^d + 0.5)/10^d — identical IEEE ops to the oracle SQL's
+    rounding, avoiding Python round()'s banker's ties vs SQL half-up."""
+    import math
+
+    s = 10.0 ** d
+    return math.floor(x * s + 0.5) / s
+
+
+def q43_quality_score(spark, sf):
+    """A23: the reference quality-score formula (data_analyzer.py:457-477)
+    end to end — missing/dup/outlier-row/consistency terms — oracle-checked
+    in full SQL on both sides."""
+    from automatic_data_validator_spark.profile import quality_report
+
+    rep = quality_report(_quality_projection(spark, sf), exact=True)
+    row = (
+        _round_half_up(rep["missing_values"]["missing_percentage"], 4),
+        _round_half_up(rep["duplicates"]["duplicate_percentage"], 4),
+        _round_half_up(rep["outliers"]["outlier_percentage"], 4),
+        len(rep["data_consistency"]["issues"]),
+        _round_half_up(rep["quality_score"], 2),
+    )
+    return spark.createDataFrame(
+        [row],
+        "missing_pct double, dup_pct double, outlier_pct double, "
+        "n_issues int, quality_score double",
+    )
+
+
+def q44_mixed_type(spark, sf):
+    """A18: 3-way mixed-type classification per string column
+    (data_analyzer.py:432-449) from the fused profile."""
+    from automatic_data_validator_spark.profile import mixed_type_report
+
+    rows = [
+        (r["column"], r["n_numeric_string"], r["n_text"], r["is_mixed"])
+        for r in mixed_type_report(_quality_projection(spark, sf))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_numeric_string long, n_text long, is_mixed boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -654,7 +716,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_pivot": q40_pivot,
         "q41_setops": q41_setops,
         "q42_date_arith": q42_date_arith,
+        "q43_quality_score": q43_quality_score,
+        "q44_mixed_type": q44_mixed_type,
     }
+
+
+# the DuckDB mirror of _quality_projection (q43/q44)
+_QUALITY_BASE_SQL = """
+    SELECT o_totalprice,
+           CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END AS custkey_n,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(o_custkey AS VARCHAR)
+                ELSE o_orderstatus END AS status_mixed,
+           o_orderpriority
+    FROM orders
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1016,5 +1091,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS INT) AS span_days,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "q43_quality_score": f"""
+            WITH base AS ({_QUALITY_BASE_SQL}),
+            m AS (
+              SELECT count(*) AS n,
+                     (SELECT count(*) FROM (SELECT DISTINCT * FROM base)) AS n_distinct,
+                     sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN custkey_n IS NULL THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN status_mixed IS NULL THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_missing,
+                     quantile_cont(o_totalprice, 0.25) AS q1_p,
+                     quantile_cont(o_totalprice, 0.75) AS q3_p,
+                     avg(o_totalprice) AS mean_p,
+                     stddev_pop(o_totalprice) AS sdp_p,
+                     stddev_samp(o_totalprice) AS sds_p,
+                     quantile_cont(custkey_n, 0.25) AS q1_c,
+                     quantile_cont(custkey_n, 0.75) AS q3_c,
+                     avg(custkey_n) AS mean_c,
+                     stddev_pop(custkey_n) AS sdp_c,
+                     stddev_samp(custkey_n) AS sds_c,
+                     sum(CASE WHEN regexp_full_match(status_mixed, '[0-9]+') THEN 1 ELSE 0 END) AS dig_s,
+                     sum(CASE WHEN status_mixed IS NOT NULL THEN 1 ELSE 0 END) AS nn_s,
+                     sum(CASE WHEN regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) AS dig_o,
+                     sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS nn_o
+              FROM base
+            ),
+            o AS (
+              SELECT count(*) AS n_outlier_rows FROM base, m
+              WHERE ((o_totalprice < q1_p - 1.5 * (q3_p - q1_p))
+                     OR (o_totalprice > q3_p + 1.5 * (q3_p - q1_p))
+                     OR (sds_p > 0 AND abs((o_totalprice - mean_p) / sdp_p) > 3.0))
+                 OR ((custkey_n < q1_c - 1.5 * (q3_c - q1_c))
+                     OR (custkey_n > q3_c + 1.5 * (q3_c - q1_c))
+                     OR (sds_c > 0 AND abs((custkey_n - mean_c) / sdp_c) > 3.0))
+            ),
+            f AS (
+              SELECT 100.0 * n_missing / (n * 4) AS missing_pct,
+                     100.0 * (n - n_distinct) / n AS dup_pct,
+                     100.0 * n_outlier_rows / n AS outlier_pct,
+                     (CASE WHEN dig_s > 0 AND nn_s - dig_s > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN dig_o > 0 AND nn_o - dig_o > 0 THEN 1 ELSE 0 END) AS n_issues
+              FROM m, o
+            )
+            SELECT floor(missing_pct * 10000 + 0.5) / 10000 AS missing_pct,
+                   floor(dup_pct * 10000 + 0.5) / 10000 AS dup_pct,
+                   floor(outlier_pct * 10000 + 0.5) / 10000 AS outlier_pct,
+                   CAST(n_issues AS INT) AS n_issues,
+                   floor(GREATEST(100.0
+                                  - LEAST(missing_pct * 0.5, 20.0)
+                                  - LEAST(dup_pct * 0.3, 15.0)
+                                  - LEAST(outlier_pct * 0.2, 10.0)
+                                  - LEAST(n_issues * 5.0, 15.0), 0.0) * 100 + 0.5) / 100
+                       AS quality_score
+            FROM f
+        """,
+        "q44_mixed_type": f"""
+            WITH base AS ({_QUALITY_BASE_SQL})
+            SELECT 'status_mixed' AS column_name,
+                   CAST(sum(CASE WHEN regexp_full_match(status_mixed, '[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_string,
+                   CAST(sum(CASE WHEN status_mixed IS NOT NULL AND NOT regexp_full_match(status_mixed, '[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                   (sum(CASE WHEN regexp_full_match(status_mixed, '[0-9]+') THEN 1 ELSE 0 END) > 0
+                    AND sum(CASE WHEN status_mixed IS NOT NULL AND NOT regexp_full_match(status_mixed, '[0-9]+') THEN 1 ELSE 0 END) > 0) AS is_mixed
+            FROM base
+            UNION ALL
+            SELECT 'o_orderpriority' AS column_name,
+                   CAST(sum(CASE WHEN regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_string,
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                   (sum(CASE WHEN regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) > 0
+                    AND sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) > 0) AS is_mixed
+            FROM base
         """,
     }

@@ -34,12 +34,15 @@ DATE_FORMATS: list[str] = [
     "dd.MM.yyyy",
 ]
 
-# quality-score deduction weights (reference: data_analyzer.py:457-477)
+# quality-score deductions (reference: data_analyzer.py:457-477):
+# score = 100 - min(missing_pct*0.5, 20) - min(dup_pct*0.3, 15)
+#             - min(outlier_pct*0.2, 10) - min(n_issues*5, 15)
+# as (multiplier, cap) pairs, byte-identical to the reference.
 QUALITY_WEIGHTS = {
-    "missing": 30.0,      # missing_pct * 0.3 deducted
-    "duplicates": 20.0,   # duplicate_pct * 0.2 deducted
-    "outliers": 20.0,     # outlier_pct * 0.2 deducted
-    "consistency": 30.0,  # inconsistency_pct * 0.3 deducted
+    "missing": (0.5, 20.0),
+    "duplicates": (0.3, 15.0),
+    "outliers": (0.2, 10.0),
+    "consistency": (5.0, 15.0),
 }
 
 # regex cleaning patterns (reference: text_processor.py:48-56)

@@ -125,6 +125,11 @@ def build_profile_exprs(
             )
             add(c, "all_upper_count", _cnt((F.upper(col) == col) & col.rlike("[A-Za-z]")))
             add(c, "all_lower_count", _cnt((F.lower(col) == col) & col.rlike("[A-Za-z]")))
+            # 3-way mixed-type primitive (reference data_analyzer.py:432-449
+            # classifies sampled object values numeric_string vs text via
+            # str.isdigit; full-table here — strictly more accurate than the
+            # reference's 1000-value sample, divergence documented)
+            add(c, "digit_only_count", _cnt(col.rlike(r"^[0-9]+$")))
             # convertibility: try_cast yields null on failure == errors='coerce'
             add(c, "numeric_conv_count", _cnt(col.isNotNull() & col.try_cast("double").isNotNull()))
             add(c, "datetime_conv_count", _cnt(col.isNotNull() & F.try_to_timestamp(col).isNotNull()))
@@ -385,60 +390,190 @@ def topk_values(
     )
 
 
+def consistency_issues(p: ProfileResult) -> list[dict[str, Any]]:
+    """Mixed-type consistency issues (reference data_analyzer.py:423-455):
+    a string column holding BOTH digit-only values (`numeric_string`) and
+    non-digit values (`text`) is one `mixed_types` issue. The reference
+    classifies a <=1000-value sample; this reads the full-table counts
+    from the fused profile (strictly more accurate, zero extra scans)."""
+    issues: list[dict[str, Any]] = []
+    for c, st in p.stats.items():
+        if "digit_only_count" not in st:
+            continue
+        non_null = int(st.get("non_null_count") or 0)
+        dig = int(st.get("digit_only_count") or 0)
+        if dig > 0 and non_null - dig > 0:
+            issues.append(
+                {
+                    "type": "mixed_types",
+                    "column": c,
+                    "types_found": ["numeric_string", "text"],
+                }
+            )
+    return issues
+
+
+def quality_score(
+    missing_pct: float, dup_pct: float, outlier_pct: float, n_issues: int
+) -> float:
+    """The reference score formula, byte-identical to
+    data_analyzer.py:457-477 (verified term by term against
+    `_calculate_quality_score`)."""
+    w = config.QUALITY_WEIGHTS
+    score = 100.0
+    score -= min(missing_pct * w["missing"][0], w["missing"][1])
+    score -= min(dup_pct * w["duplicates"][0], w["duplicates"][1])
+    score -= min(outlier_pct * w["outliers"][0], w["outliers"][1])
+    score -= min(n_issues * w["consistency"][0], w["consistency"][1])
+    return max(score, 0.0)
+
+
 def quality_report(
     df: DataFrame,
     p: ProfileResult | None = None,
     key_columns: list[str] | None = None,
+    exact: bool = False,
 ) -> dict[str, Any]:
     """Assemble the reference's quality-report dict (data_analyzer.py:55-66)
-    from the single-pass profile plus one duplicate-count job.
+    from the single-pass profile plus two small follow-up jobs.
 
-    Duplicate counting hashes whole rows JVM-side (xxhash64 over all
-    columns) and compares count vs distinct-hash count — one shuffle-free
-    scan + partial-aggregated distinct, instead of pandas `duplicated()`.
+    Semantics mirror the reference exactly:
+      missing_pct   total nulls / total cells      (data_analyzer.py:88-89)
+      dup_pct       duplicated-row share           (data_analyzer.py:144-146)
+      outlier_pct   share of ROWS with ANY column outlier by IQR OR
+                    z-score union                  (data_analyzer.py:227-277)
+      consistency   mixed-type issues              (data_analyzer.py:423-455)
+      score         quality_score() above          (data_analyzer.py:457-477)
+
+    ``exact=False`` (default, the 10^12-row path): duplicate rows via
+    approx-distinct over a row hash, quantile bounds via
+    percentile_approx from the profile. ``exact=True``: exact
+    distinct-row count and exact interpolated percentiles (one extra
+    tiny agg) — used by the oracle-checked contract query.
     """
     if p is None:
-        p = profile(df)
+        p = profile(df, detect_formats=False)
     n = p.row_count
-    dup_count = int(
-        df.agg(
-            (F.count(F.lit(1)) - F.approx_count_distinct(F.xxhash64(*df.columns), 0.005)).alias("d")
-        ).collect()[0][0]
-    )
-    dup_count = max(dup_count, 0)
+    if exact:
+        dup_count = n - df.distinct().count()
+    else:
+        # row hash JVM-side: the approx-distinct carries an 8-byte key
+        dup_count = max(
+            0,
+            int(
+                df.agg(
+                    (
+                        F.count(F.lit(1))
+                        - F.approx_count_distinct(F.xxhash64(*df.columns), 0.005)
+                    ).alias("d")
+                ).collect()[0][0]
+            ),
+        )
     total_cells = n * len(df.columns) or 1
     total_missing = sum(s["null_count"] for s in p.suggestions.values())
     missing_pct = 100.0 * total_missing / total_cells
     dup_pct = 100.0 * dup_count / max(n, 1)
-    # outlier share via IQR bounds from the profile (data_analyzer.py:236-277)
-    outlier_pct = 0.0
-    numeric_cols = [
-        c for c, st in p.stats.items() if "q1" in st and st.get("q1") is not None
-    ]
+
+    # outlier ROWS: a row is an outlier when ANY numeric column falls
+    # outside IQR bounds OR has |z| > threshold (union of both methods,
+    # reference data_analyzer.py:227-233 counts distinct row indices)
+    numeric_cols = [c for c, st in p.stats.items() if "mean" in st]
+    total_outlier_rows = 0
+    col_bounds: dict[str, dict[str, float | None]] = {}
     if numeric_cols:
+        if exact:
+            exprs = []
+            for c in numeric_cols:
+                d = F.col(c).cast("double")
+                exprs += [
+                    F.expr(f"percentile(`{c}`, 0.25)").alias(f"q1_{c}"),
+                    F.expr(f"percentile(`{c}`, 0.75)").alias(f"q3_{c}"),
+                    F.avg(d).alias(f"mean_{c}"),
+                    F.stddev_pop(d).alias(f"sdp_{c}"),
+                    F.stddev_samp(d).alias(f"sds_{c}"),
+                ]
+            brow = df.agg(*exprs).collect()[0].asDict()
+            for c in numeric_cols:
+                col_bounds[c] = {
+                    "q1": brow[f"q1_{c}"], "q3": brow[f"q3_{c}"],
+                    "mean": brow[f"mean_{c}"], "std_pop": brow[f"sdp_{c}"],
+                    "std_samp": brow[f"sds_{c}"],
+                }
+        else:
+            for c in numeric_cols:
+                st = p.stats[c]
+                nn = st.get("non_null_count") or 0
+                sds = st.get("std")
+                sdp = (
+                    sds * math.sqrt((nn - 1) / nn)
+                    if sds is not None and nn > 1
+                    else None
+                )
+                col_bounds[c] = {
+                    "q1": st.get("q1"), "q3": st.get("q3"),
+                    "mean": st.get("mean"), "std_pop": sdp, "std_samp": sds,
+                }
         conds = []
         for c in numeric_cols:
-            st = p.stats[c]
-            iqr = (st["q3"] or 0) - (st["q1"] or 0)
-            lo, hi = (st["q1"] or 0) - 1.5 * iqr, (st["q3"] or 0) + 1.5 * iqr
-            conds.append(
-                F.coalesce(
-                    ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("long"), F.lit(0)
+            b = col_bounds[c]
+            if b["q1"] is None or b["q3"] is None:
+                continue
+            d = F.col(c).cast("double")
+            iqr = b["q3"] - b["q1"]
+            lo, hi = b["q1"] - 1.5 * iqr, b["q3"] + 1.5 * iqr
+            cond = (d < F.lit(lo)) | (d > F.lit(hi))
+            # z-score method only when sample std > 0 (data_analyzer.py:262)
+            if b["std_samp"] and b["std_samp"] > 0 and b["std_pop"]:
+                zt = config.OUTLIER_ZSCORE_THRESHOLD
+                cond = cond | (
+                    F.abs((d - F.lit(b["mean"])) / F.lit(b["std_pop"])) > F.lit(zt)
                 )
+            conds.append(F.coalesce(cond, F.lit(False)))
+        if conds:
+            any_outlier = conds[0]
+            for x in conds[1:]:
+                any_outlier = any_outlier | x
+            total_outlier_rows = int(
+                df.agg(F.sum(any_outlier.cast("long")).alias("o")).collect()[0][0]
+                or 0
             )
-        row = df.agg(*[F.sum(x).alias(f"o{i}") for i, x in enumerate(conds)]).collect()[0]
-        total_outliers = sum(int(v or 0) for v in row)
-        outlier_pct = 100.0 * total_outliers / max(n * len(numeric_cols), 1)
-    # quality score — formula byte-identical to data_analyzer.py:457-477
-    score = 100.0
-    score -= min(missing_pct * 0.3, config.QUALITY_WEIGHTS["missing"])
-    score -= min(dup_pct * 0.2, config.QUALITY_WEIGHTS["duplicates"])
-    score -= min(outlier_pct * 0.2, config.QUALITY_WEIGHTS["outliers"])
-    score = max(score, 0.0)
+    outlier_pct = 100.0 * total_outlier_rows / max(n, 1)
+
+    issues = consistency_issues(p)
+    score = quality_score(missing_pct, dup_pct, outlier_pct, len(issues))
     return {
         "basic_info": {"rows": n, "columns": len(df.columns)},
         "missing_values": {"total_missing": total_missing, "missing_percentage": missing_pct},
         "duplicates": {"duplicate_count": dup_count, "duplicate_percentage": dup_pct},
-        "outliers": {"outlier_percentage": outlier_pct},
-        "quality_score": round(score, 2),
+        "outliers": {
+            "total_outlier_rows": total_outlier_rows,
+            "outlier_percentage": outlier_pct,
+        },
+        "data_consistency": {"issues": issues},
+        # raw float, like the reference (rounding is the caller's concern)
+        "quality_score": score,
     }
+
+
+def mixed_type_report(df: DataFrame, p: ProfileResult | None = None) -> list[dict[str, Any]]:
+    """Per-string-column 3-way classification counts (A18, reference
+    data_analyzer.py:432-449): numeric_string (digit-only) vs text share
+    plus the mixed flag — from the fused profile, no extra scans."""
+    if p is None:
+        p = profile(df, detect_formats=False)
+    out = []
+    for c in df.columns:
+        st = p.stats.get(c, {})
+        if "digit_only_count" not in st:
+            continue
+        non_null = int(st.get("non_null_count") or 0)
+        dig = int(st.get("digit_only_count") or 0)
+        out.append(
+            {
+                "column": c,
+                "n_numeric_string": dig,
+                "n_text": non_null - dig,
+                "is_mixed": dig > 0 and non_null - dig > 0,
+            }
+        )
+    return out

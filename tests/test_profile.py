@@ -84,6 +84,81 @@ def test_quality_report_shape(spark, wide):
     assert 0.0 <= rep["quality_score"] <= 100.0
     assert rep["basic_info"]["rows"] == 2000
     assert rep["duplicates"]["duplicate_count"] == 0
+    assert "data_consistency" in rep
+
+
+def _reference_quality(pdf: pd.DataFrame) -> dict:
+    """Pandas re-implementation of the reference's quality pipeline
+    (data_analyzer.py:88-89, 144-146, 207-277, 423-455, 457-477) —
+    the ground truth the Spark quality_report must reproduce."""
+    n = len(pdf)
+    missing_pct = pdf.isnull().sum().sum() / pdf.size * 100
+    dup_pct = pdf.duplicated().sum() / n * 100
+    outlier_rows: set = set()
+    for c in pdf.select_dtypes(include=[np.number]).columns:
+        s = pdf[c]
+        clean = s.dropna()
+        if len(clean) == 0:
+            continue
+        q1, q3 = clean.quantile(0.25), clean.quantile(0.75)
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        iqr_idx = s[(s < lo) | (s > hi)].index.tolist()
+        if clean.std() > 0:  # ddof=1, reference data_analyzer.py:262
+            z = np.abs((clean - clean.mean()) / clean.std(ddof=0))
+            z_idx = clean[z > config.OUTLIER_ZSCORE_THRESHOLD].index.tolist()
+            outlier_rows.update(set(iqr_idx) | set(z_idx))
+    outlier_pct = len(outlier_rows) / n * 100
+    issues = 0
+    for c in pdf.select_dtypes(include=["object"]).columns:
+        types = set()
+        for v in pdf[c].dropna():
+            if isinstance(v, str):
+                types.add("numeric_string" if v.isdigit() else "text")
+        if len(types) > 1:
+            issues += 1
+    score = 100.0
+    score -= min(missing_pct * 0.5, 20)
+    score -= min(dup_pct * 0.3, 15)
+    score -= min(outlier_pct * 0.2, 10)
+    score -= min(issues * 5, 15)
+    return {
+        "missing_pct": missing_pct, "dup_pct": dup_pct,
+        "outlier_pct": outlier_pct, "issues": issues,
+        "score": max(score, 0),
+    }
+
+
+def test_quality_score_matches_reference_formula(spark):
+    """quality_report(exact=True) must reproduce the reference formula
+    term by term on a frame that exercises every deduction."""
+    rng = np.random.RandomState(7)
+    n = 1200
+    pdf = pd.DataFrame(
+        {
+            "metric": np.concatenate(
+                [rng.normal(50, 5, n - 15), rng.normal(50, 5, 15) + 200]
+            ),
+            "count_n": [None if i % 40 == 0 else float(i % 97) for i in range(n)],
+            "mixed_col": [str(i) if i % 9 == 0 else f"val-{i % 5}" for i in range(n)],
+            "pure_text": [f"cat-{i % 4}" for i in range(n)],
+        }
+    )
+    # inject exact duplicate rows
+    pdf = pd.concat([pdf, pdf.iloc[:30]], ignore_index=True)
+    expected = _reference_quality(pdf)
+    rep = quality_report(spark.createDataFrame(pdf), exact=True)
+    assert math.isclose(
+        rep["missing_values"]["missing_percentage"], expected["missing_pct"], rel_tol=1e-9
+    )
+    assert math.isclose(
+        rep["duplicates"]["duplicate_percentage"], expected["dup_pct"], rel_tol=1e-9
+    )
+    assert math.isclose(
+        rep["outliers"]["outlier_percentage"], expected["outlier_pct"], rel_tol=1e-9
+    )
+    assert len(rep["data_consistency"]["issues"]) == expected["issues"]
+    assert math.isclose(rep["quality_score"], expected["score"], rel_tol=1e-9)
 
 
 def test_profile_invariant_under_repartition(spark, wide):
