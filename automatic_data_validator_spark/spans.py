@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -109,35 +108,45 @@ def normalize_spans_arrow(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     strip) while PRESERVING the span-sequence invariant (kind,
     media_ref, order unchanged; only text content is normalized).
 
-    Batches arrive as pandas; span arrays are lists of dicts. The
-    transform is applied with pandas vector ops on an exploded frame
-    per batch, then re-grouped — no Python-per-row loop over rows of
-    the table, only per-batch pandas operations.
+    Pure Arrow kernels via ``mapInArrow``: the span ListArray's
+    flattened struct children are transformed in place
+    (``replace_substring_regex`` + ``utf8_trim_whitespace`` on the text
+    child — RE2/C++, zero Python per row OR per span) and the list is
+    rebuilt from the ORIGINAL offsets, so empty arrays stay ``[]``,
+    null arrays stay null, and (kind, media_ref, offset) children are
+    reused untouched — the span-sequence invariant holds by
+    construction. Note: RE2's ``\\s`` is ASCII (vs Python's unicode
+    ``\\s``); unicode whitespace inside text survives, leading/trailing
+    unicode whitespace is still trimmed by utf8_trim_whitespace.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
             T.StructField(spans_col, T.ArrayType(SPAN_SCHEMA)),
         ]
     )
+    fields = [f.name for f in SPAN_SCHEMA.fields]
 
-    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def norm(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for b in batches:
-            ex = b.explode(spans_col, ignore_index=False)
-            sp = pd.json_normalize(ex[spans_col])
-            sp.index = ex.index
-            txt = sp["text"].str.replace(r"\s+", " ", regex=True).str.strip()
-            sp["text"] = txt.where(sp["text"].notna(), None)
-            rebuilt = sp.apply(
-                lambda r: {
-                    "kind": r["kind"],
-                    "text": r["text"],
-                    "media_ref": r["media_ref"],
-                    "offset": r["offset"],
-                },
-                axis=1,
+            lst = b.column(b.schema.get_field_index(spans_col))
+            st = lst.values  # flattened struct children, offset-aligned
+            children = {f: st.field(f) for f in fields}
+            children["text"] = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(children["text"], r"\s+", " ")
             )
-            grouped = rebuilt.groupby(level=0).agg(list)
-            yield pd.DataFrame({"doc_id": b["doc_id"].values, spans_col: grouped.values})
+            new_st = pa.StructArray.from_arrays(
+                [children[f] for f in fields], names=fields
+            )
+            new_lst = pa.ListArray.from_arrays(
+                lst.offsets, new_st, mask=pc.is_null(lst)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")), new_lst],
+                names=["doc_id", spans_col],
+            )
 
-    return df.select("doc_id", spans_col).mapInPandas(norm, out_schema)
+    return df.select("doc_id", spans_col).mapInArrow(norm, out_schema)

@@ -97,6 +97,16 @@ def main() -> None:
     log(f"validate_e2e: {dt:.3f}s on {n_docs} docs -> {docs_per_sec} docs/s "
         f"({n_viol} violation rows)")
 
+    # --- Arrow span-normalizer micro-bench over the same 1M-doc table ------
+    from automatic_data_validator_spark.spans import normalize_spans_arrow
+
+    normalize_spans_arrow(docs.limit(5000)).count()  # warm-up
+    t0 = time.perf_counter()
+    n = normalize_spans_arrow(docs).count()
+    dt = time.perf_counter() - t0
+    timings["normalize_1m"] = round(dt, 3)
+    log(f"normalize_1m: {dt:.3f}s ({n} docs)")
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -34,6 +34,30 @@ def test_span_sequence_equality_invariant(spark, docs):
     assert b.exceptAll(a).count() == 0
 
 
+def test_normalize_spans_handles_empty_and_null(spark):
+    """A doc whose spans array is empty or null must come back unchanged
+    and must NOT corrupt alignment of the surrounding rows."""
+    rows = [
+        ("d-ws", [{"kind": "text", "text": "  a   b\tc ", "media_ref": None, "offset": 0}]),
+        ("d-empty", []),
+        ("d-null", None),
+        ("d-media", [{"kind": "image", "text": None, "media_ref": "m-1", "offset": 0}]),
+        ("d-nulloff", [{"kind": "text", "text": "x", "media_ref": None, "offset": None}]),
+    ]
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    df = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r["spans"] for r in SP.normalize_spans_arrow(df).collect()}
+    assert got["d-ws"][0]["text"] == "a b c"
+    assert got["d-empty"] == []
+    assert got["d-null"] is None
+    assert got["d-media"][0]["media_ref"] == "m-1" and got["d-media"][0]["text"] is None
+    assert got["d-nulloff"][0]["offset"] is None and got["d-nulloff"][0]["text"] == "x"
+    # an all-empty batch must not crash
+    empt = spark.createDataFrame([("e1", []), ("e2", None)], schema)
+    got2 = {r["doc_id"]: r["spans"] for r in SP.normalize_spans_arrow(empt).collect()}
+    assert got2 == {"e1": [], "e2": None}
+
+
 def test_explode_and_text_extraction(spark, docs):
     ex = SP.explode_spans(docs)
     assert set(ex.columns) == {"doc_id", "span_idx", "kind", "text", "media_ref", "offset"}
