@@ -84,5 +84,10 @@ HOT_PREFIX_SHARE = 0.05
 # Broadcast the referential catalog when its estimated row count is
 # below this (at ~64B/row this stays well under the 8GB broadcast cap).
 BROADCAST_ROW_LIMIT = 5_000_000
+# LSH band-buckets larger than this are dropped from the candidate
+# self-join (a degenerate bucket — empty/boilerplate texts — goes
+# quadratic: 10^6 identical docs => 5*10^11 pairs from ONE bucket).
+# Dropped buckets are auditable via dedup.lsh_oversize_buckets.
+LSH_MAX_BUCKET_SIZE = 2_000
 # accuracy for percentile_approx (1/eps); 10k => ~0.01% rank error.
 PERCENTILE_ACCURACY = 10_000

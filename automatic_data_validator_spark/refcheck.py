@@ -28,11 +28,17 @@ def distinct_refs(df: DataFrame, spans_col: str = "spans") -> DataFrame:
         df.select(
             F.spark_partition_id().cast("int").alias("partition_id"),
             F.col("doc_id").cast("string").alias("doc_id"),
+            # per-row distinct BEFORE explode: a doc repeating one ref
+            # emits it once (also keeps violation rows one-per-doc×ref)
             F.explode(
-                F.filter(F.col(spans_col), lambda s: s.media_ref.isNotNull())
-            ).alias("s"),
+                F.array_distinct(
+                    F.filter(
+                        F.transform(F.col(spans_col), lambda s: s.media_ref),
+                        lambda r: r.isNotNull(),
+                    )
+                )
+            ).alias("media_ref"),
         )
-        .select("partition_id", "doc_id", F.col("s.media_ref").alias("media_ref"))
     )
 
 

@@ -63,31 +63,27 @@ def brute_force_topk(
 def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: int = 42):
     """Random-hyperplane LSH signature as a bigint bit-pack.
 
-    Plane weights are pseudo-random but deterministic: w[p][i] derives
-    from xxhash64(p, i, seed) mapped to [-1, 1] — generated inline as
-    literals-free expressions so the plan is identical on every
-    executor (no broadcast variable needed).
+    Plane weights are deterministic (numpy RandomState(seed)) and
+    embedded as LITERAL arrays in the plan — identical on every
+    executor, no broadcast variable, and crucially no per-row weight
+    regeneration (the previous formulation re-derived every weight
+    from xxhash64 inside nested HOF lambdas: O(planes x dim)
+    interpreted work per row; now only the dot products remain).
+    ``dim`` must match the embedding length.
     """
-    v = F.col(vec_col)
+    import numpy as np
 
-    def projection(p: int):
-        weights = F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: (
-                F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2001)).cast("double")
-                - 1000.0
-            )
-            / 1000.0,
-        )
-        return F.aggregate(
-            F.zip_with(v, weights, lambda x, w: x * w),
+    rng = np.random.RandomState(seed)
+    planes = rng.uniform(-1.0, 1.0, size=(n_planes, dim))
+    v = F.col(vec_col)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w_lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(v, w_lit, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = projection(p)
         sig = sig.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         )
@@ -185,11 +181,16 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any of
     ``n_tables`` hyperplane-signature buckets with the query, then
     exact cosine rank within candidates. The bucket join is an
-    equi-join on (table, signature) — shuffle on 8-byte keys only."""
+    equi-join on (table, signature) — shuffle on 8-byte keys only.
+    ``dim`` is inferred from the (small) query side when omitted."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+
     def with_sigs(df, idc):
         return df.select(
             F.col(idc).alias("_id"),
@@ -199,7 +200,9 @@ def lsh_topk(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            hyperplane_signature(vec_col, n_planes, seed=seed + t).alias("sig"),
+                            hyperplane_signature(
+                                vec_col, n_planes, dim=dim, seed=seed + t
+                            ).alias("sig"),
                         )
                         for t in range(n_tables)
                     ]

@@ -148,3 +148,72 @@ def test_ivf_topk_recall(spark):
     }
     assert 7 in approx
     assert len(set(exact) & approx) >= 8  # clustered data: near-full recall
+
+
+def test_uniqueness_fallback_matches_broadcast(spark, docs):
+    """Above broadcast_limit the dup-set join must fall back to a
+    shuffle left-semi with IDENTICAL violations (VERDICT r1 #3)."""
+    v_b, viol_b = D.uniqueness_check(docs, "doc_id")
+    v_s, viol_s = D.uniqueness_check(docs, "doc_id", broadcast_limit=0)
+    a = sorted((r["doc_id"], r["partition_id"]) for r in viol_b.collect())
+    b = sorted((r["doc_id"], r["partition_id"]) for r in viol_s.collect())
+    assert a == b and a
+    assert sorted(map(tuple, v_b.collect())) == sorted(map(tuple, v_s.collect()))
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    """1k identical docs = one degenerate bucket; with a cap the pair
+    set must be empty (not 499,500 rows) and the audit must report the
+    dropped buckets."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(1000), "text": ["same boilerplate text here"] * 1000})
+    )
+    pairs = D.minhash_lsh_duplicates(
+        df, "id", "text", num_hashes=16, bands=4, max_bucket_size=100
+    )
+    assert pairs.count() == 0
+    dropped = D.lsh_oversize_buckets(
+        df, "id", "text", num_hashes=16, bands=4, max_bucket_size=100
+    ).collect()
+    assert dropped and all(r["n_docs"] == 1000 for r in dropped)
+    # uncapped default still pairs them (bucket of 1000 < default cap)
+    some = D.minhash_lsh_duplicates(df.limit(50), "id", "text", num_hashes=16, bands=4)
+    assert some.count() == 50 * 49 // 2
+
+
+def test_simhash_single_pass_matches_multi_pass(spark):
+    """The one-aggregate simhash must equal the per-bit formulation."""
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox", "lorem ipsum dolor sit amet", "x",
+        "", "a b a b a b", "MiXeD CaSe   whitespace\ttabs",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"id": range(len(texts)), "text": texts}))
+
+    def simhash_multi_pass(text_col, bits=64):
+        tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+        def bit_vote(b):
+            return F.aggregate(
+                hashes, F.lit(0),
+                lambda acc, h: acc + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            out = out.bitwiseOR(
+                F.when(bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return out
+
+    got = df.select("id", D.simhash("text").alias("a"),
+                    simhash_multi_pass("text").alias("b")).collect()
+    for r in got:
+        assert r["a"] == r["b"], r
