@@ -119,6 +119,12 @@ def uniqueness_check(
          viol_by_pid.get(pid, 0) == 0)
         for pid, total in sorted(partition_totals.items())
     ]
+    # a violation in a partition the totals map doesn't know about
+    # means the reused partition map diverged from this scan's
+    # assignment — surface it as a failing verdict (row_count 0 =
+    # unknown) instead of silently dropping the violations
+    for pid in sorted(set(viol_by_pid) - set(partition_totals)):
+        rows.append((int(pid), rule_id, 0, int(viol_by_pid[pid]), False))
     from .rules import VERDICT_SCHEMA
 
     verdicts = spark.createDataFrame(rows, VERDICT_SCHEMA)

@@ -103,5 +103,9 @@ def referential_check(
          viol_by_pid.get(pid, 0) == 0)
         for pid, total in sorted(partition_totals.items())
     ]
+    # violations in a partition missing from the (possibly reused)
+    # totals map must fail loudly, not vanish from the verdicts
+    for pid in sorted(set(viol_by_pid) - set(partition_totals)):
+        rows.append((int(pid), rule_id, 0, int(viol_by_pid[pid]), False))
     verdicts = df.sparkSession.createDataFrame(rows, VERDICT_SCHEMA)
     return verdicts, violations

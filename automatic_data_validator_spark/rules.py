@@ -68,6 +68,15 @@ class Rule:
     expr: str | None = None
     params: dict[str, Any] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # rule ids travel through a comma-joined pack in the violation
+        # fan-out (evaluate_row_rules pass 2) — a comma would corrupt
+        # every violation row of the batch, so reject it up front
+        if "," in self.rule_id:
+            raise ValueError(
+                f"rule_id may not contain ',' (got {self.rule_id!r})"
+            )
+
 
 # --- expression safety (port of reference data_corrector.py:325-367) -----
 _ALLOWED_FUNCTIONS = {

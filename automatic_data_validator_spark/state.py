@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("snapshot_id", T.StringType(), True),
         T.StructField("rule_version", T.StringType(), True),
         T.StructField("ts", T.DoubleType(), False),
+        # wall-clock seconds of the phase that produced this row
+        # (mirror of the reference's per-operation duration logging,
+        # logger.py:190-205, data_corrector.py:409)
+        T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("op", T.StringType(), False),
         T.StructField("row_count", T.LongType(), True),
         T.StructField("violation_count", T.LongType(), True),
@@ -68,6 +73,10 @@ class Checkpointer:
     root: str
     snapshot_id: str = "snap-0"
     rule_version: str = "v1"
+    # phases complete concurrently (validate.py runs them from a
+    # ThreadPoolExecutor); the load-modify-replace of _state.json must
+    # be atomic or a completed-phase mark can be lost
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def _state_path(self) -> str:
         return os.path.join(self.root, "_state.json")
@@ -100,15 +109,23 @@ class Checkpointer:
     def read(self, spark: SparkSession, phase: str, artifact: str) -> DataFrame:
         return spark.read.parquet(self.phase_dir(phase, artifact))
 
-    def mark_done(self, phase: str) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        state = self._load()
-        if phase not in state["completed"]:
-            state["completed"].append(phase)
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=2)
-        os.replace(tmp, self._state_path())
+    def mark_done(self, phase: str, duration_s: float | None = None) -> None:
+        with self._lock:
+            os.makedirs(self.root, exist_ok=True)
+            state = self._load()
+            if phase not in state["completed"]:
+                state["completed"].append(phase)
+            if duration_s is not None:
+                state.setdefault("durations", {})[phase] = duration_s
+            tmp = self._state_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f, indent=2)
+            os.replace(tmp, self._state_path())
+
+    def duration_of(self, phase: str) -> float | None:
+        """Recorded wall-clock of a completed phase (for lineage rows
+        rebuilt on resume — the original cost, not the resume cost)."""
+        return self._load().get("durations", {}).get(phase)
 
 
 def lineage_from_verdicts(
@@ -117,12 +134,14 @@ def lineage_from_verdicts(
     phase: str,
     snapshot_id: str,
     rule_version: str,
+    duration_s: float | None = None,
 ) -> DataFrame:
     """Build lineage rows from collected verdict tuples
     (partition_id, rule_id, row_count, violation_count, pass)."""
     now = time.time()
     rows = [
-        (phase, int(v[0]), snapshot_id, rule_version, now, v[1], int(v[2]), int(v[3]))
+        (phase, int(v[0]), snapshot_id, rule_version, now, duration_s,
+         v[1], int(v[2]), int(v[3]))
         for v in verdicts
     ]
     return spark.createDataFrame(rows, LINEAGE_SCHEMA)

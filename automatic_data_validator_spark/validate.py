@@ -86,23 +86,30 @@ def run_validation(
         """
         if ckpt and ckpt.is_done(name):
             v_rows = [tuple(r) for r in ckpt.read(spark, name, "verdicts").collect()]
+            # lineage carries the ORIGINAL phase cost, not the resume cost
+            duration_s = ckpt.duration_of(name)
             with _acc_lock:
                 violation_parts.append(ckpt.read(spark, name, "violations"))
         else:
+            import time as _time
+
+            t0 = _time.perf_counter()
             verdicts, violations = fn()
             v_rows = [tuple(r) for r in verdicts.collect()]
+            duration_s = round(_time.perf_counter() - t0, 3)
             if ckpt:
                 ckpt.write(name, "verdicts",
                            spark.createDataFrame(v_rows, R.VERDICT_SCHEMA))
                 ckpt.write(name, "violations", violations)
                 violations = ckpt.read(spark, name, "violations")
-                ckpt.mark_done(name)
+                ckpt.mark_done(name, duration_s=duration_s)
             with _acc_lock:
                 violation_parts.append(violations)
         with _acc_lock:
             verdict_rows.extend(v_rows)
             lineage_parts.append(
-                lineage_from_verdicts(spark, v_rows, name, snapshot_id, rule_version)
+                lineage_from_verdicts(spark, v_rows, name, snapshot_id,
+                                      rule_version, duration_s=duration_s)
             )
         return v_rows
 

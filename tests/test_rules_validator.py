@@ -62,3 +62,12 @@ def test_struct_field_access_validates_head_only():
     validate_sql_expr("exists(spans, x -> x.media_ref is null)", COLS)
     with pytest.raises(ValueError):
         validate_sql_expr("exists(nope, x -> x.media_ref is null)", COLS)
+
+
+def test_rule_id_with_comma_rejected():
+    import pytest as _pytest
+
+    from automatic_data_validator_spark.rules import Rule
+
+    with _pytest.raises(ValueError, match="comma|,"):
+        Rule("bad,id", "not_null", column="doc_id")

@@ -71,3 +71,38 @@ def test_canonical_violations_golden_serialization(spark, docs, catalog):
         )
 
     assert dump(r1) == dump(r2)
+
+
+def test_lineage_durations_present_and_preserved_on_resume(spark, docs, catalog, tmp_path):
+    """Every lineage row carries duration_s; a resumed run re-reports
+    the ORIGINAL phase durations (from _state.json), not nulls."""
+    ck = str(tmp_path / "ckpt3")
+    full = run_validation(spark, docs, catalog=catalog, checkpoint_dir=ck,
+                          with_profile=False)
+    assert full.lineage.filter(F.col("duration_s").isNull()).count() == 0
+    orig = {
+        r["phase"]: r["duration_s"]
+        for r in full.lineage.select("phase", "duration_s").distinct().collect()
+    }
+    resumed = run_validation(spark, docs, catalog=catalog, checkpoint_dir=ck,
+                             with_profile=False)
+    res = {
+        r["phase"]: r["duration_s"]
+        for r in resumed.lineage.select("phase", "duration_s").distinct().collect()
+    }
+    assert res == orig  # original costs, one duration per phase (no dupes)
+
+
+def test_mark_done_is_threadsafe(tmp_path):
+    """Concurrent mark_done calls must not lose completed phases."""
+    import threading
+
+    ck = Checkpointer(str(tmp_path / "ckpt4"))
+    phases = [f"phase_{i}" for i in range(16)]
+    threads = [threading.Thread(target=ck.mark_done, args=(p,)) for p in phases]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for p in phases:
+        assert ck.is_done(p), p

@@ -90,3 +90,16 @@ def test_canonical_violations_deterministic(spark, docs, catalog):
     a = canonical_violations(r1.violations).select("doc_id", "rule_id", "detail").collect()
     b = canonical_violations(r2.violations).select("doc_id", "rule_id", "detail").collect()
     assert a == b  # partition-layout independent
+
+
+def test_unknown_partition_violations_fail_loudly(spark, docs):
+    """Violations attributed to a partition missing from a (stale)
+    partition_totals map must surface as failing verdicts instead of
+    being dropped (ADVICE r1: silent pass with violations present)."""
+    from automatic_data_validator_spark.dedup import uniqueness_check
+
+    verdicts, _v = uniqueness_check(docs, "doc_id", partition_totals={99999: 1})
+    rows = verdicts.collect()
+    unknown = [r for r in rows if r["partition_id"] != 99999]
+    assert unknown and all(not r["pass"] and r["row_count"] == 0 for r in unknown)
+    assert sum(r["violation_count"] for r in unknown) > 0
