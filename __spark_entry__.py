@@ -485,19 +485,39 @@ def q32_minhash_pairs(spark, sf):
 
 
 def q33_span_validation(spark, sf):
-    """No SQL oracle (engine-native spans pipeline) — rows-only."""
+    """Span rules (W2 order invariant + shape + not-null) through the
+    engine's evaluate_row_rules, oracle-checked: every 7th doc with >=2
+    spans gets its first offset bumped past the rest (a deterministic
+    span_order violation the oracle can count arithmetically); verdicts
+    are aggregated per rule so the result is partitioning-independent."""
     from automatic_data_validator_spark import rules as R
 
     docs = _spans_from_flat(_t(spark, sf, "documents"))
+    num = F.substring("doc_id", 5, 12).cast("long")
+    s = F.col("spans")
+    bumped_first = F.struct(
+        s[0]["kind"].alias("kind"),
+        s[0]["text"].alias("text"),
+        s[0]["media_ref"].alias("media_ref"),
+        F.lit(1000000).cast("int").alias("offset"),
+    )
+    perturbed = F.when(
+        (num % 7 == 0) & (F.size(s) >= 2),
+        F.concat(F.array(bumped_first), F.slice(s, 2, F.size(s) - 1)),
+    ).otherwise(s)
     v, _x = R.evaluate_row_rules(
-        docs,
+        docs.select("doc_id", perturbed.alias("spans")),
         [
             R.Rule("span_order", "span_order", column="spans"),
             R.Rule("span_shape", "span_shape", column="spans"),
             R.Rule("not_null_doc_id", "not_null", column="doc_id"),
         ],
     )
-    return v
+    return v.groupBy("rule_id").agg(
+        F.sum("row_count").alias("row_count"),
+        F.sum("violation_count").alias("violation_count"),
+        (F.sum("violation_count") == 0).alias("ok"),
+    )
 
 
 def q34_embedding_norm_stats(spark, sf):
@@ -1091,6 +1111,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS INT) AS span_days,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "q33_span_validation": """
+            WITH w AS (
+              SELECT doc_id,
+                     length(string_split_regex(text, '\\s+')) AS words
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     GREATEST(CAST(FLOOR((words + 4) / 5.0) AS INT), 1)
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS total_spans
+              FROM w
+            )
+            SELECT rule_id, row_count, violation_count, violation_count = 0 AS ok
+            FROM (
+              SELECT 'span_order' AS rule_id, count(*) AS row_count,
+                     CAST(sum(CASE WHEN doc_id % 7 = 0 AND total_spans >= 2
+                              THEN 1 ELSE 0 END) AS BIGINT) AS violation_count
+              FROM s
+              UNION ALL
+              SELECT 'span_shape', count(*), CAST(0 AS BIGINT) FROM s
+              UNION ALL
+              SELECT 'not_null_doc_id', count(*), CAST(0 AS BIGINT) FROM s
+            )
         """,
         "q43_quality_score": f"""
             WITH base AS ({_QUALITY_BASE_SQL}),

@@ -29,3 +29,21 @@ def test_violations_byte_match_golden(spark, docs, catalog):
     with open(GOLDEN) as f:
         expected = f.read()
     assert got == expected  # byte-for-byte
+
+
+def test_minhash_pairs_golden_pin(spark):
+    """q32 has no SQL oracle (xxhash64-based LSH); pin its full sf0.01
+    row-set instead so silent drift is caught."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "minhash_pairs_sf001.json")
+    golden = sorted(tuple(p) for p in json.load(open(golden_path)))
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in entrymod.q32_minhash_pairs(spark, "/root/testdata/sf0.01").collect()
+    )
+    assert got == golden
