@@ -58,7 +58,7 @@ def uniqueness_check(
     key: str = "doc_id",
     rule_id: str = "unique_doc_id",
     salt_buckets: int = config.DEFAULT_SALT_BUCKETS,
-    partition_totals: dict[int, int] | None = None,
+    partition_totals: "dict[int, int] | DataFrame | None" = None,
     broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
 ) -> tuple[DataFrame, DataFrame]:
     """Verdicts + violation rows for key uniqueness, attributed to the
@@ -74,8 +74,13 @@ def uniqueness_check(
     Violations are persisted (small) and verdict counts aggregate from
     them, so no second full scan. partition_totals: per-partition row
     counts already known from the row-rules pass (same scan
-    partitioning); computed here only if absent. Returns
-    (verdicts, violations) in rules VERDICT/VIOLATION schema.
+    partitioning); computed here only if absent. Pass a DataFrame
+    (partition_id, row_count) instead of a dict for the DISTRIBUTED
+    verdict path: verdicts are then built by a full outer join on the
+    cluster and never collected — required when the input has more
+    partitions than the driver should hold rows (~8M partitions at
+    10^12 docs / 128MB splits). Returns (verdicts, violations) in
+    rules VERDICT/VIOLATION schema.
     """
     dups = (
         duplicate_key_counts(df, key, salt_buckets)
@@ -102,6 +107,13 @@ def uniqueness_check(
         )
         .persist()
     )
+    if isinstance(partition_totals, DataFrame):
+        from .rules import distributed_verdicts
+
+        return (
+            distributed_verdicts(partition_totals, violations, rule_id),
+            violations,
+        )
     if partition_totals is None:
         partition_totals = {
             r["partition_id"]: r["cnt"]

@@ -49,7 +49,7 @@ def referential_check(
     rule_id: str = "referential_media_ref",
     catalog_rows: int | None = None,
     broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
-    partition_totals: dict[int, int] | None = None,
+    partition_totals: "dict[int, int] | DataFrame | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (verdicts, violations) in rules VERDICT/VIOLATION schema.
 
@@ -78,6 +78,15 @@ def referential_check(
         "partition_id",
         F.col("media_ref").alias("detail"),
     )
+    if isinstance(partition_totals, DataFrame):
+        from .rules import distributed_verdicts
+
+        return (
+            distributed_verdicts(
+                partition_totals, violations, rule_id, distinct_doc=True
+            ),
+            violations,
+        )
     if partition_totals is None:
         partition_totals = {
             r["partition_id"]: r["cnt"]

@@ -52,6 +52,41 @@ VIOLATION_SCHEMA = T.StructType(
 )
 
 
+def distributed_verdicts(
+    totals_df: DataFrame,
+    violations: DataFrame,
+    rule_id: str,
+    distinct_doc: bool = False,
+) -> DataFrame:
+    """Verdicts as a cluster-side full outer join of per-partition row
+    totals (partition_id, row_count) against per-partition violation
+    counts — nothing is collected to the driver. This is the verdict
+    path for inputs whose partition count exceeds what the driver
+    should hold as rows (~8M partitions at 10^12 docs / 128MB splits);
+    partitions with violations but no totals entry surface as failing
+    verdicts with row_count 0 (full join), never silently dropped.
+    ``distinct_doc``: count violations per distinct (partition, doc)
+    instead of per violation row (refcheck semantics)."""
+    v = violations
+    if distinct_doc:
+        v = v.select("partition_id", "doc_id").distinct()
+    viol_counts = v.groupBy("partition_id").agg(F.count(F.lit(1)).alias("_viol"))
+    return (
+        totals_df.select(
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.col("row_count").cast("long").alias("_total"),
+        )
+        .join(viol_counts, "partition_id", "full")
+        .select(
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.lit(rule_id).alias("rule_id"),
+            F.coalesce("_total", F.lit(0)).cast("long").alias("row_count"),
+            F.coalesce("_viol", F.lit(0)).cast("long").alias("violation_count"),
+            (F.coalesce("_viol", F.lit(0)) == 0).alias("pass"),
+        )
+    )
+
+
 @dataclass
 class Rule:
     """One declarative constraint.

@@ -140,8 +140,8 @@ def lineage_from_verdicts(
     (partition_id, rule_id, row_count, violation_count, pass)."""
     now = time.time()
     rows = [
-        (phase, int(v[0]), snapshot_id, rule_version, now, duration_s,
-         v[1], int(v[2]), int(v[3]))
+        (phase, None if v[0] is None else int(v[0]), snapshot_id,
+         rule_version, now, duration_s, v[1], int(v[2]), int(v[3]))
         for v in verdicts
     ]
     return spark.createDataFrame(rows, LINEAGE_SCHEMA)

@@ -57,7 +57,15 @@ def run_validation(
     rule_version: str = "v1",
     with_profile: bool = True,
     check_uniqueness: bool = True,
+    verdict_spill_threshold: int = 100_000,
 ) -> ValidationResult:
+    """See module docstring. verdict_spill_threshold: when the input
+    has more partitions than this, per-partition verdicts are NOT
+    collected to the driver (at 10^12 docs / 128MB splits that is ~8M
+    partitions x rules rows) — they stay DataFrames, phase verdicts are
+    built with cluster-side joins (rules.distributed_verdicts), and
+    lineage carries one per-rule aggregate row per phase instead of one
+    row per partition."""
     rule_set = rule_set if rule_set is not None else list(DEFAULT_RULES)
     if snapshot_id == "auto":
         from .state import snapshot_of
@@ -70,61 +78,98 @@ def run_validation(
     )
     import threading
 
-    verdict_rows: list[tuple] = []
+    # spill mode: never hold one-row-per-partition verdicts on the driver
+    spill = documents.rdd.getNumPartitions() > verdict_spill_threshold
+
+    verdict_dfs: list[DataFrame] = []
     violation_parts: list[DataFrame] = []
     lineage_parts: list[DataFrame] = []
     _acc_lock = threading.Lock()
 
-    def run_phase(name: str, fn) -> list[tuple]:
-        """Run or resume one phase.
+    def run_phase(name: str, fn) -> DataFrame:
+        """Run or resume one phase; returns the phase's verdicts.
 
-        Verdicts are tiny (one row per partition x rule): they are
-        collected ONCE here and re-materialized as a local DataFrame,
-        so later consumers never re-trigger the full input scan.
+        Default mode: verdicts are tiny (one row per partition x rule),
+        collected ONCE and re-materialized as a local DataFrame so
+        later consumers never re-trigger the full input scan. Spill
+        mode: verdicts stay distributed (persisted or checkpointed),
+        and lineage gets per-rule aggregate rows (partition_id null).
         Violation rows stay lazy unless checkpointing is on (then they
         are written+read-back, i.e. materialized exactly once).
         """
+        v_rows: list[tuple] | None = None
         if ckpt and ckpt.is_done(name):
-            v_rows = [tuple(r) for r in ckpt.read(spark, name, "verdicts").collect()]
+            vdf = ckpt.read(spark, name, "verdicts")
             # lineage carries the ORIGINAL phase cost, not the resume cost
             duration_s = ckpt.duration_of(name)
-            with _acc_lock:
-                violation_parts.append(ckpt.read(spark, name, "violations"))
+            violations = ckpt.read(spark, name, "violations")
+            if not spill:
+                v_rows = [tuple(r) for r in vdf.collect()]
+                vdf = spark.createDataFrame(v_rows, R.VERDICT_SCHEMA)
         else:
             import time as _time
 
             t0 = _time.perf_counter()
-            verdicts, violations = fn()
-            v_rows = [tuple(r) for r in verdicts.collect()]
+            vdf, violations = fn()
+            if not spill:
+                v_rows = [tuple(r) for r in vdf.collect()]
+                vdf = spark.createDataFrame(v_rows, R.VERDICT_SCHEMA)
+            else:
+                vdf = vdf.persist()
             duration_s = round(_time.perf_counter() - t0, 3)
             if ckpt:
-                ckpt.write(name, "verdicts",
-                           spark.createDataFrame(v_rows, R.VERDICT_SCHEMA))
+                ckpt.write(name, "verdicts", vdf)
                 ckpt.write(name, "violations", violations)
+                vdf = ckpt.read(spark, name, "verdicts")
                 violations = ckpt.read(spark, name, "violations")
                 ckpt.mark_done(name, duration_s=duration_s)
-            with _acc_lock:
-                violation_parts.append(violations)
+        if spill:
+            # tiny per-rule aggregate for lineage; full verdicts stay lazy
+            l_rows = [
+                (None, r["rule_id"], int(r["rc"]), int(r["vc"]))
+                for r in vdf.groupBy("rule_id")
+                .agg(F.sum("row_count").alias("rc"),
+                     F.sum("violation_count").alias("vc"))
+                .collect()
+            ]
+        else:
+            l_rows = v_rows
         with _acc_lock:
-            verdict_rows.extend(v_rows)
+            violation_parts.append(violations)
+            verdict_dfs.append(vdf)
             lineage_parts.append(
-                lineage_from_verdicts(spark, v_rows, name, snapshot_id,
+                lineage_from_verdicts(spark, l_rows, name, snapshot_id,
                                       rule_version, duration_s=duration_s)
             )
-        return v_rows
+        return vdf
 
     row_rules = R.row_level(rule_set)
-    partition_totals: dict[int, int] | None = None
+    partition_totals: dict[int, int] | DataFrame | None = None
     if row_rules:
-        rr_rows = run_phase(
+        rr_vdf = run_phase(
             "row_rules", lambda: R.evaluate_row_rules(documents, row_rules, key_column)
         )
         # per-partition row totals from the row-rules scan — reused by
         # the uniqueness/referential phases (same parquet scan => same
         # spark_partition_id assignment), saving one full pass each
-        partition_totals = {}
-        for r in rr_rows:
-            partition_totals[int(r[0])] = int(r[2])
+        if spill:
+            partition_totals = rr_vdf.filter(
+                F.col("rule_id") == row_rules[0].rule_id
+            ).select("partition_id", "row_count")
+        else:
+            partition_totals = {
+                int(r["partition_id"]): int(r["row_count"])
+                for r in rr_vdf.filter(
+                    F.col("rule_id") == row_rules[0].rule_id
+                ).collect()
+            }
+    elif spill:
+        # no row-rules pass to reuse: build the totals distributed
+        partition_totals = (
+            documents.select(F.spark_partition_id().cast("int").alias("partition_id"))
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("row_count"))
+        )
 
     # The remaining phases are independent reads of the same input:
     # submit them CONCURRENTLY (Spark job submission is thread-safe).
@@ -179,7 +224,9 @@ def run_validation(
                 ckpt.write("profile", "metrics", metrics)
                 ckpt.mark_done("profile")
 
-    verdicts = spark.createDataFrame(verdict_rows, R.VERDICT_SCHEMA)
+    verdicts = verdict_dfs[0]
+    for x in verdict_dfs[1:]:
+        verdicts = verdicts.unionByName(x)
     violations = violation_parts[0]
     for x in violation_parts[1:]:
         violations = violations.unionByName(x)

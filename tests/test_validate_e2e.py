@@ -103,3 +103,26 @@ def test_unknown_partition_violations_fail_loudly(spark, docs):
     unknown = [r for r in rows if r["partition_id"] != 99999]
     assert unknown and all(not r["pass"] and r["row_count"] == 0 for r in unknown)
     assert sum(r["violation_count"] for r in unknown) > 0
+
+
+def test_verdict_spill_mode_matches_default(spark, docs, catalog):
+    """With verdict_spill_threshold forced low, verdicts stay
+    distributed (no driver collect) yet must equal the default path;
+    lineage degrades to per-rule aggregate rows (null partition_id)."""
+    base = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    spilled = run_validation(spark, docs, catalog=catalog, with_profile=False,
+                             verdict_spill_threshold=1)
+    a = sorted(map(tuple, base.verdicts.collect()))
+    b = sorted(map(tuple, spilled.verdicts.collect()))
+    assert a == b
+    va = sorted((r["doc_id"], r["rule_id"]) for r in base.violations.collect())
+    vb = sorted((r["doc_id"], r["rule_id"]) for r in spilled.violations.collect())
+    assert va == vb
+    lin = spilled.lineage.collect()
+    assert all(r["partition_id"] is None for r in lin)
+    # per-rule aggregates must match the verdict sums
+    agg = {(r["phase"], r["op"]): r["violation_count"] for r in lin}
+    assert sum(v for (_p, op), v in agg.items() if op == "span_order") == \
+        sum(r["violation_count"] for r in base.verdicts.collect()
+            if r["rule_id"] == "span_order")
+    assert base.passed() == spilled.passed()
