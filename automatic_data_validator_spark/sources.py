@@ -83,6 +83,30 @@ def read_excel(spark: SparkSession, path: str, sheets: list[str] | None = None) 
     return spark.createDataFrame(book)
 
 
+def write_excel_report(frames: "dict[str, DataFrame]", path: str,
+                       max_rows_per_sheet: int = 100_000) -> None:
+    """Multi-sheet Excel report sink (S8, reference app.py:1067-1121):
+    one sheet per named frame. Driver-side by design — report frames
+    (verdicts, metrics, summaries) are small aggregates; anything big
+    belongs in the parquet sinks, so rows are hard-capped per sheet.
+    Gated on openpyxl like read_excel."""
+    try:
+        import pandas as pd  # noqa: F401
+
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "Excel report sink requires openpyxl; use write_output "
+            "(parquet/csv/json) instead"
+        ) from e
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as xw:
+        for name, df in frames.items():
+            pdf = df.limit(max_rows_per_sheet).toPandas()
+            pdf.to_excel(xw, sheet_name=name[:31], index=False)
+
+
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
     """Iceberg table when a catalog resolves the name; else parquet."""
     if os.path.exists(name_or_path):

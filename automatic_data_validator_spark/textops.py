@@ -239,3 +239,193 @@ def rolling_fingerprints(col, window: int = 8) -> Column:
         ),
     ).otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
     return F.array_min(shingles)
+
+
+# --- stemming / lemmatization (F9) ------------------------------------------
+#
+# The reference's pipeline templates stem/lemmatize with NLTK
+# (text_processor.py:489-518). NLTK is not in this environment, so the
+# Porter stemmer is implemented from scratch below, from the PUBLIC
+# algorithm (M.F. Porter, "An algorithm for suffix stripping",
+# Program 14(3), 1980 — original rule set; NLTK's default mode adds
+# extensions, so a few suffix classes may differ). This is the
+# documented slow-path parity slot: per-unique-token Python inside an
+# Arrow-batched pandas UDF with a batch-level cache — the same
+# execution shape as the reference's per-token NLTK calls, but
+# distributed.
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """Porter's m: number of vowel->consonant transitions in w."""
+    m, i, n = 0, 0, len(w)
+    while i < n and _is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(w, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(w, i):
+            i += 1
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    n = len(w)
+    return (
+        n >= 3
+        and _is_cons(w, n - 1)
+        and not _is_cons(w, n - 2)
+        and _is_cons(w, n - 3)
+        and w[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Original Porter (1980) stemmer, steps 1a-5b."""
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag_1b = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 4 (longest match first within same ending is implicit in the
+    # list order for the overlapping cases ement/ment/ent)
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1 and (suf != "ion" or stem.endswith(("s", "t"))):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and w.endswith("ll"):
+        w = w[:-1]
+    return w
+
+
+def lemmatize_light(word: str) -> str:
+    """Rule-based noun-plural lemmatizer — a documented approximation of
+    the reference's WordNetLemmatizer (no wordnet in this env): handles
+    regular plurals only, leaves everything else untouched."""
+    if len(word) <= 3:
+        return word
+    if word.endswith("ies"):
+        return word[:-3] + "y"
+    if word.endswith(("ches", "shes", "xes", "sses", "zes")):
+        return word[:-2]
+    if word.endswith("s") and not word.endswith(("ss", "us", "is")):
+        return word[:-1]
+    return word
+
+
+def stem_text(col, mode: str = "stem") -> Column:
+    """Whitespace-tokenize, stem (or lemmatize) each token, re-join.
+
+    Arrow-batched pandas UDF with a per-batch unique-token cache: real
+    corpora repeat tokens heavily, so the Python stemmer runs once per
+    DISTINCT token per batch, not once per occurrence."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fn = porter_stem if mode == "stem" else lemmatize_light
+
+    @pandas_udf("string")
+    def _stem(s):  # -> pd.Series of strings (no annotations: pandas_udf
+        # resolves hints from module globals, and pandas is imported
+        # lazily here; the returnType string above is authoritative)
+        cache: dict[str, str] = {}
+
+        def line(x):
+            if x is None:
+                return None
+            return " ".join(
+                cache.get(t) or cache.setdefault(t, fn(t.lower()))
+                for t in x.split()
+            )
+
+        return s.map(line)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _stem(c)

@@ -64,3 +64,21 @@ def test_file_stats(spark, docs):
     assert st["rows"] == 5000 and st["columns"] == 2
     assert st["column_kinds"]["string"] == 1  # doc_id
     assert st["column_kinds"]["nested"] == 1  # spans
+
+
+def test_excel_report_sink_gated(spark, tmp_path):
+    """openpyxl is absent in this env: the sink must fail with a clear
+    actionable error (and succeed if openpyxl ever appears)."""
+    import pytest as _pytest
+
+    from automatic_data_validator_spark.sources import write_excel_report
+
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    try:
+        import openpyxl  # noqa: F401
+
+        write_excel_report({"verdicts": df}, str(tmp_path / "r.xlsx"))
+        assert (tmp_path / "r.xlsx").exists()
+    except ImportError:
+        with _pytest.raises(RuntimeError, match="openpyxl"):
+            write_excel_report({"verdicts": df}, str(tmp_path / "r.xlsx"))

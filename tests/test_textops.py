@@ -93,3 +93,46 @@ def test_rolling_fingerprint_shift_invariance(spark):
     )
     fps = [r["rf"] for r in df.collect()]
     assert fps[0] == fps[1]
+
+
+def test_porter_stemmer_canonical_pairs():
+    """Full-pipeline outputs of the original Porter (1980) algorithm
+    (step-by-step examples in the paper show intermediates; these are
+    the end-to-end results, e.g. relational -> relate -> relat)."""
+    from automatic_data_validator_spark.textops import porter_stem
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "hopping": "hop", "falling": "fall",
+        "happy": "happi", "relational": "relat", "conditional": "condit",
+        "sized": "size", "filing": "file", "sky": "sky", "bled": "bled",
+        "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+        "tanned": "tan", "hissing": "hiss", "formative": "form",
+        "formalize": "formal", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "adjustable": "adjust", "defensible": "defens",
+        "controlling": "control", "rate": "rate", "probate": "probat",
+        "cease": "ceas", "triplicate": "triplic",
+        "generalization": "gener", "oscillation": "oscil",
+    }
+    got = {w: porter_stem(w) for w in pairs}
+    assert got == pairs
+
+
+def test_stem_text_udf_and_lemmatizer(spark):
+    from automatic_data_validator_spark.textops import lemmatize_light, stem_text
+
+    df = spark.createDataFrame(
+        [("d1", "The ponies were motoring happily"), ("d2", None)],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", stem_text("text").alias("s")).collect()}
+    assert rows["d1"] == "the poni were motor happili"
+    assert rows["d2"] is None
+    lem = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", stem_text("text", mode="lemma").alias("s")).collect()}
+    assert lem["d1"] == "the pony were motoring happily"
+    assert lemmatize_light("churches") == "church"
+    assert lemmatize_light("classes") == "class"
+    assert lemmatize_light("bus") == "bus"
