@@ -127,6 +127,32 @@ class Checkpointer:
         rebuilt on resume — the original cost, not the resume cost)."""
         return self._load().get("durations", {}).get(phase)
 
+    def backup_state(self, keep: int = 3) -> str | None:
+        """Rotate a copy of _state.json (reference
+        session_manager.py:261-300 backup/rotation semantics): newest
+        ``keep`` backups survive. Returns the new backup path, or None
+        when there is no state yet."""
+        import glob
+        import re
+        import shutil
+
+        with self._lock:
+            src = self._state_path()
+            if not os.path.exists(src):
+                return None
+            pat = os.path.join(self.root, "_state.bak*.json")
+            existing = sorted(glob.glob(pat))
+            nums = [
+                int(m.group(1))
+                for p in existing
+                if (m := re.search(r"_state\.bak(\d+)\.json$", p))
+            ]
+            dst = os.path.join(self.root, f"_state.bak{max(nums, default=0) + 1:04d}.json")
+            shutil.copy2(src, dst)
+            for old in sorted(glob.glob(pat))[:-keep]:
+                os.remove(old)
+            return dst
+
 
 def lineage_from_verdicts(
     spark: SparkSession,

@@ -42,6 +42,21 @@ def sentence_count(col) -> Column:
     return F.size(F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != ""))
 
 
+def split_sentences(col, mode: str = "regex") -> Column:
+    """array<string> of sentences. mode='regex': terminal-punctuation
+    split (matches sentence_count). mode='locale': Spark's built-in
+    ``sentences()`` (java.text.BreakIterator) — the closest JVM analog
+    to nltk.sent_tokenize (handles abbreviations better than the
+    regex); returns each sentence re-joined from its token array."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "locale":
+        return F.transform(F.sentences(c), lambda s: F.array_join(s, " "))
+    return F.filter(
+        F.transform(F.split(c, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
 def char_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

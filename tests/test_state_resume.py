@@ -106,3 +106,15 @@ def test_mark_done_is_threadsafe(tmp_path):
         t.join()
     for p in phases:
         assert ck.is_done(p), p
+
+
+def test_state_backup_rotation(tmp_path):
+    ck = Checkpointer(str(tmp_path / "ckpt5"))
+    assert ck.backup_state() is None  # no state yet
+    ck.mark_done("row_rules")
+    paths = [ck.backup_state(keep=2) for _ in range(4)]
+    assert all(p for p in paths)
+    import glob
+
+    left = sorted(glob.glob(str(tmp_path / "ckpt5" / "_state.bak*.json")))
+    assert len(left) == 2 and left[-1] == paths[-1]

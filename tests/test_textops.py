@@ -136,3 +136,15 @@ def test_stem_text_udf_and_lemmatizer(spark):
     assert lemmatize_light("churches") == "church"
     assert lemmatize_light("classes") == "class"
     assert lemmatize_light("bus") == "bus"
+
+
+def test_split_sentences_modes(spark):
+    from automatic_data_validator_spark.textops import split_sentences
+
+    df = spark.createDataFrame(
+        [("d1", "First one. Second one! Third?")], "doc_id string, text string"
+    )
+    rx = df.select(split_sentences("text").alias("s")).collect()[0]["s"]
+    assert rx == ["First one", "Second one", "Third"]
+    loc = df.select(split_sentences("text", mode="locale").alias("s")).collect()[0]["s"]
+    assert len(loc) == 3 and loc[0].lower().startswith("first")
