@@ -84,6 +84,18 @@ def main() -> None:
     docs = spark.read.parquet(f"{work}/documents")
     catalog = spark.read.parquet(f"{work}/media_catalog")
     log(f"synth input materialized at {work}")
+    # untimed warm-up on a 20x smaller table: JIT + codegen for the
+    # validation plans out of the timed region (same policy as the
+    # headline-query warm-up above)
+    make_documents(spark, max(n_docs // 20, 1000), n_media=n_media, seed=43).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/documents_warm")
+    warm = run_validation(
+        spark, spark.read.parquet(f"{work}/documents_warm"), catalog=catalog
+    )
+    warm.violations.write.mode("overwrite").parquet(f"{work}/out_warm/violations")
+    warm.verdicts.write.mode("overwrite").parquet(f"{work}/out_warm/verdicts")
+    warm.metrics.write.mode("overwrite").parquet(f"{work}/out_warm/metrics")
     t0 = time.perf_counter()
     res = run_validation(spark, docs, catalog=catalog, with_profile=True)
     # production sink: write all outputs (each violation plan runs once)
