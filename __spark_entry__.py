@@ -692,6 +692,22 @@ def q44_mixed_type(spark, sf):
     )
 
 
+def q45_cosine_neardup(spark, sf):
+    """Embedding-cosine near-dup: exact all-pairs scorer (the post-LSH
+    verification primitive), top-20 most-similar pairs with a
+    deterministic (sim desc, id_a, id_b) tie-break."""
+    from automatic_data_validator_spark.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = cosine_neardup_pairs(emb, threshold=-1.0)
+    w = Window.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -738,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_date_arith": q42_date_arith,
         "q43_quality_score": q43_quality_score,
         "q44_mixed_type": q44_mixed_type,
+        "q45_cosine_neardup": q45_cosine_neardup,
     }
 
 
@@ -1189,6 +1206,22 @@ def oracle_sql() -> dict[str, str]:
                                   - LEAST(n_issues * 5.0, 15.0), 0.0) * 100 + 0.5) / 100
                        AS quality_score
             FROM f
+        """,
+        "q45_cosine_neardup": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS c
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            ),
+            r AS (
+              SELECT id_a, id_b, c,
+                     CAST(row_number() OVER (ORDER BY c DESC, id_a, id_b) AS INT) AS rnk
+              FROM p
+            )
+            SELECT rnk, id_a, id_b, round(c, 4) AS cosine_sim
+            FROM r WHERE rnk <= 20
         """,
         "q44_mixed_type": f"""
             WITH base AS ({_QUALITY_BASE_SQL})

@@ -90,6 +90,33 @@ def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: 
     return sig
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_sim).
+
+    With ``candidates=None`` this is the EXACT all-pairs verifier —
+    O(n^2), for small tables and oracle checks only. At 100 TB pass a
+    candidate-pair DataFrame (id_a, id_b) from the LSH bucket join
+    (lsh_topk's bucket equi-join) or a shared-IVF-list join, and only
+    those pairs are scored (candidates broadcast, vector table never
+    shuffled — same layering as dedup.ngram_jaccard after MinHash)."""
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    va = vectors.select(F.col(id_col).alias("id_a"), dbl(F.col(vec_col)).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), dbl(F.col(vec_col)).alias("_vb"))
+    if candidates is None:
+        pairs = va.crossJoin(vb).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = F.broadcast(candidates).join(va, "id_a").join(vb, "id_b")
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -58,6 +58,41 @@ def validate_stream(
     return writer.start()
 
 
+def stateful_uniqueness(
+    stream_df: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-batch uniqueness violations via a custom stateful operator
+    (``applyInPandasWithState`` — the Structured Streaming surface for
+    operators Spark lacks built-in). State per key = occurrences seen
+    so far; whenever a micro-batch pushes a key's running total past 1,
+    one row (key, total_occurrences) is emitted. Batch-mode uniqueness
+    (dedup.uniqueness_check) cannot see across micro-batches; this can.
+
+    State is one bigint per distinct key, partitioned by the groupBy —
+    at 10^12 keys use RocksDB state store + watermark-scoped keys; the
+    operator itself is shuffle-once (the groupBy) per micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_new = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        if total > 1:
+            yield pd.DataFrame({key_col: [key[0]], "total_occurrences": [total]})
+
+    return stream_df.select(key_col).groupBy(key_col).applyInPandasWithState(
+        track,
+        outputStructType=f"{key_col} string, total_occurrences long",
+        stateStructType="occurrences long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_quality(
     stream_df: DataFrame,
     ts_col: str,

@@ -98,10 +98,25 @@ def main() -> None:
     warm.metrics.write.mode("overwrite").parquet(f"{work}/out_warm/metrics")
     t0 = time.perf_counter()
     res = run_validation(spark, docs, catalog=catalog, with_profile=True)
-    # production sink: write all outputs (each violation plan runs once)
-    res.violations.write.mode("overwrite").parquet(f"{work}/out/violations")
-    res.verdicts.write.mode("overwrite").parquet(f"{work}/out/verdicts")
-    res.metrics.write.mode("overwrite").parquet(f"{work}/out/metrics")
+    # production sink: write all outputs (each violation plan runs
+    # once); independent jobs -> submit concurrently to keep slots full
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                lambda df=df, name=name: df.write.mode("overwrite").parquet(
+                    f"{work}/out/{name}"
+                )
+            )
+            for df, name in [
+                (res.violations, "violations"),
+                (res.verdicts, "verdicts"),
+                (res.metrics, "metrics"),
+            ]
+        ]
+        for f in futs:
+            f.result()
     dt = time.perf_counter() - t0
     n_viol = spark.read.parquet(f"{work}/out/violations").count()
     timings["validate_e2e"] = round(dt, 3)

@@ -69,3 +69,45 @@ def test_windowed_quality_streaming_plan_builds(spark):
     )
     wq = windowed_quality(stream, "ts")
     assert wq.isStreaming  # plan resolves with watermark + window
+
+
+def test_stateful_uniqueness_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: a doc_id
+    repeated in a LATER micro-batch must still fire (per-batch checks
+    cannot see it)."""
+    from automatic_data_validator_spark.streaming import stateful_uniqueness
+
+    src = str(tmp_path / "src_state")
+    ck = str(tmp_path / "ck_state")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id string, n int"
+    # batch 1: d1, d2, d2 (in-batch dup); batch 2: d1 again (cross-batch dup)
+    spark.createDataFrame([("d1", 1), ("d2", 1), ("d2", 2)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = stateful_uniqueness(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("uniq_state")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([("d1", 3), ("d9", 1)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["doc_id"], r["total_occurrences"])
+            for r in spark.sql("SELECT * FROM uniq_state").collect()}
+    assert ("d2", 2) in rows          # in-batch duplicate
+    assert ("d1", 2) in rows          # cross-batch duplicate (needs state)
+    assert not any(d == "d9" for d, _n in rows)
