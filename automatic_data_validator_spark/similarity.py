@@ -149,6 +149,31 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_write(assigned: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Persist an IVF index: the assigned table partitioned BY `_list`
+    (hive-style directories), centroids as a tiny JSON sidecar. The
+    partitioning is the point at 100 TB: ivf_topk's `_list IN (...)`
+    probe filter then prunes whole directories at planning time —
+    the scan touches ~nprobe/n_lists of the BYTES, not just rows."""
+    import json
+
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(f"{path}/vectors")
+    # sidecar via a 1-row dataframe so it lands on any hadoop-compatible fs
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str):
+    """Load an IVF index written by ivf_write -> (assigned, centroids)."""
+    import json
+
+    assigned = spark.read.parquet(f"{path}/vectors")
+    row = spark.read.json(f"{path}/centroids").collect()[0]
+    return assigned, json.loads(row["centroids_json"])
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

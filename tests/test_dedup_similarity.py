@@ -217,3 +217,33 @@ def test_simhash_single_pass_matches_multi_pass(spark):
                     simhash_multi_pass("text").alias("b")).collect()
     for r in got:
         assert r["a"] == r["b"], r
+
+
+def test_ivf_index_persist_and_prune(spark, tmp_path):
+    """ivf_write partitions by _list so the probe join prunes whole
+    directories (dynamic partition pruning); read-back results must
+    equal the in-memory index."""
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(4, 16)) * 4
+    vecs = np.vstack(
+        [centers[i % 4] + rng.normal(scale=0.3, size=16) for i in range(200)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    )
+    assigned, cents = S.ivf_index(df, n_lists=4, seed=3)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7], "embedding": [vecs[7].tolist()]})
+    )
+    mem = sorted(r["neighbor_id"]
+                 for r in S.ivf_topk(assigned, cents, queries, k=5, nprobe=2).collect())
+
+    path = str(tmp_path / "ivf")
+    S.ivf_write(assigned, cents, path)
+    assigned2, cents2 = S.ivf_read(spark, path)
+    assert cents2 == cents
+    disk_topk = S.ivf_topk(assigned2, cents2, queries, k=5, nprobe=2)
+    disk = sorted(r["neighbor_id"] for r in disk_topk.collect())
+    assert disk == mem
+    plan = disk_topk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
