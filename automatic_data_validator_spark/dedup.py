@@ -361,6 +361,72 @@ def simhash(text_col: str, bits: int = 64):
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """SimHash near-duplicates via Hamming banding.
+
+    The 64-bit simhash splits into ``bands`` equal bit-slices; by
+    pigeonhole, any pair with hamming distance <= bands-1 shares at
+    least one identical slice, so candidates come from a bucket
+    equi-join on (band, slice) — never an all-pairs scan — and are then
+    verified exactly with ``bit_count(a XOR b) <= max_hamming``
+    (one JVM instruction per pair). Degenerate buckets are capped like
+    minhash_lsh_duplicates. Returns (id_a, id_b, hamming).
+    Note: max_hamming > bands-1 loses the recall guarantee (candidates
+    beyond it are caught only opportunistically) — raise bands instead.
+    """
+    from pyspark.sql import Window
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    with_bands = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_sh", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.band", "bb.slice")
+    w = Window.partitionBy("band", "slice")
+    bounded = (
+        with_bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
+        .drop("_bn")
+    )
+    return (
+        bounded.alias("l")
+        .join(
+            bounded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.slice") == F.col("r.slice"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     id_col: str,

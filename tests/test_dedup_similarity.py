@@ -247,3 +247,24 @@ def test_ivf_index_persist_and_prune(spark, tmp_path):
     assert disk == mem
     plan = disk_topk._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_simhash_neardup_pairs(spark):
+    """Hamming-banded SimHash: near-identical texts pair, unrelated
+    texts don't; hamming values verified vs driver-side popcount."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away today",
+        "the quick brown fox jumps over the lazy cat and runs away today",
+        "entirely different text about quantum chromodynamics lattice gauge theory",
+        "the quick brown fox jumps over the lazy dog and runs away today",  # exact dup of 0
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"id": range(4), "text": texts}))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_neardup_pairs(df, "id", "text", max_hamming=10).collect()}
+    assert pairs.get((0, 3)) == 0                       # exact dup: hamming 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 10      # one-word change
+    assert all(2 not in p for p in pairs)               # unrelated never pairs
+    # verify hamming against driver-side popcount of the simhash values
+    sh = {r["id"]: r["sh"] for r in df.select("id", D.simhash("text").alias("sh")).collect()}
+    for (a, b), h in pairs.items():
+        assert h == bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
