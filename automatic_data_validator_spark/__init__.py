@@ -22,6 +22,6 @@ Design principles (see SURVEY.md §4.2):
 __version__ = "0.1.0"
 
 from . import config  # noqa: F401
-from .profile import profile, quality_report  # noqa: F401
-from .rules import Rule, evaluate_row_rules  # noqa: F401
+from .profile import mixed_type_report, profile, quality_report  # noqa: F401
+from .rules import Rule, distributed_verdicts, evaluate_row_rules  # noqa: F401
 from .validate import ValidationResult, canonical_violations, run_validation  # noqa: F401

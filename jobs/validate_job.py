@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the validation engine (north_rule:
+"run via spark-submit --py-files on a multi-executor cluster").
+
+Cluster usage:
+
+    zip -r advs.zip automatic_data_validator_spark
+    spark-submit --py-files advs.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        jobs/validate_job.py \
+        --documents s3://bucket/warehouse/db/documents \
+        --catalog   s3://bucket/warehouse/db/media_catalog \
+        --output    s3://bucket/validation/run-2026-08-16 \
+        --checkpoint s3://bucket/validation/ckpt \
+        --snapshot-id auto
+
+Local smoke (this sandbox):
+
+    python jobs/validate_job.py \
+        --documents /tmp/advs_docs --catalog /tmp/advs_cat \
+        --output /tmp/advs_out --synthesize 100000
+
+Reads Iceberg table names (``catalog.db.table``) or parquet paths,
+runs the full validation (row rules + salted uniqueness + referential
++ single-pass profile), writes verdicts/violations/metrics/lineage as
+parquet under --output, and exits nonzero when any rule failed — the
+exit code IS the pass/fail signal for orchestrators.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# On a cluster --py-files ships the package; for bare local runs the
+# repo root (parent of jobs/) must be importable too.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--documents", required=True, help="Iceberg name or parquet path")
+    ap.add_argument("--catalog", default=None, help="media catalog (optional)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--snapshot-id", default="auto")
+    ap.add_argument("--rule-version", default="v1")
+    ap.add_argument("--no-profile", action="store_true")
+    ap.add_argument("--synthesize", type=int, default=0, metavar="N_DOCS",
+                    help="generate a synthetic input first (local smoke only)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from automatic_data_validator_spark.sources import read_table
+    from automatic_data_validator_spark.validate import run_validation
+
+    # cluster-agnostic: master/executors come from spark-submit conf.
+    # Only stop the session at exit if this job created it (an
+    # embedding caller — tests, notebooks — keeps its own session).
+    owns_session = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("advs-validate").getOrCreate()
+
+    if args.synthesize:
+        from automatic_data_validator_spark.synth import (
+            make_documents,
+            make_media_catalog,
+        )
+
+        n_media = max(args.synthesize // 100, 1000)
+        make_documents(spark, args.synthesize, n_media=n_media).write.mode(
+            "overwrite"
+        ).parquet(args.documents)
+        if args.catalog:
+            make_media_catalog(spark, n_media).write.mode("overwrite").parquet(
+                args.catalog
+            )
+
+    docs = read_table(spark, args.documents)
+    catalog = read_table(spark, args.catalog) if args.catalog else None
+    res = run_validation(
+        spark,
+        docs,
+        catalog=catalog,
+        checkpoint_dir=args.checkpoint,
+        snapshot_id=args.snapshot_id,
+        rule_version=args.rule_version,
+        with_profile=not args.no_profile,
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    outputs = [(res.verdicts, "verdicts"), (res.violations, "violations"),
+               (res.lineage, "lineage")]
+    if res.metrics is not None:
+        outputs.append((res.metrics, "metrics"))
+    with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
+        futs = [
+            pool.submit(lambda df=df, name=name: df.write.mode("overwrite")
+                        .parquet(f"{args.output}/{name}"))
+            for df, name in outputs
+        ]
+        for f in futs:
+            f.result()
+
+    ok = res.passed()
+    print(f"validation {'PASSED' if ok else 'FAILED'}; outputs at {args.output}")
+    if owns_session:
+        spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

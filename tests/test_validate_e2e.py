@@ -126,3 +126,23 @@ def test_verdict_spill_mode_matches_default(spark, docs, catalog):
         sum(r["violation_count"] for r in base.verdicts.collect()
             if r["rule_id"] == "span_order")
     assert base.passed() == spilled.passed()
+
+
+def test_spark_submit_job_entrypoint(spark, tmp_path):
+    """jobs/validate_job.py is the spark-submit entry: runs end to end,
+    writes all four outputs, and its exit code is the pass/fail signal
+    (synthetic input has injected violations -> nonzero)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import validate_job
+
+    base = str(tmp_path / "job")
+    rc = validate_job.main([
+        "--documents", f"{base}/docs", "--catalog", f"{base}/cat",
+        "--output", f"{base}/out", "--synthesize", "5000",
+    ])
+    assert rc == 1  # violations injected by synth => FAILED is correct
+    for name in ("verdicts", "violations", "metrics", "lineage"):
+        assert spark.read.parquet(f"{base}/out/{name}").count() > 0
