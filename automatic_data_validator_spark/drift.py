@@ -323,6 +323,28 @@ def drift_report(
     return out
 
 
+def save_baseline(
+    sketches: "dict[str, TDigest]", spark, path: str, snapshot_id: str = "snap-0"
+) -> None:
+    """Persist a baseline sketch snapshot (north_star: drift "against a
+    baseline snapshot") as a tiny parquet of (snapshot_id, column,
+    serialized sketch) — lands on any Hadoop-compatible filesystem, and
+    a later run loads + merges-free compares without rescanning the
+    baseline data."""
+    rows = [(snapshot_id, c, d.serialize()) for c, d in sketches.items()]
+    spark.createDataFrame(
+        rows, "snapshot_id string, column string, sketch string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_baseline(spark, path: str) -> "dict[str, TDigest]":
+    """Load a baseline saved by save_baseline -> {column: TDigest}."""
+    return {
+        r["column"]: TDigest.deserialize(r["sketch"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
 def quantile_grid(df: DataFrame, column: str, grid: list[float]) -> list[float]:
     """Cheap path: percentile_approx on a fixed grid (no sketch)."""
     row = df.agg(

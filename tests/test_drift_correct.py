@@ -162,3 +162,31 @@ def test_sketch_by_group_and_grouped_drift(spark):
         spark.createDataFrame(cur), spark.createDataFrame(base), "g", "v")}
     assert rep["a"]["drifted"] is False
     assert rep["b"]["drifted"] is True
+
+
+def test_baseline_snapshot_roundtrip_and_drift(spark, tmp_path):
+    """Save a baseline sketch snapshot, reload it in a 'later run', and
+    detect an injected shift — without rescanning the baseline data."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_data_validator_spark.drift import (
+        drift_report,
+        load_baseline,
+        save_baseline,
+        sketch_columns,
+    )
+
+    rng = np.random.RandomState(11)
+    base = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0, 1, 20000)}))
+    sketches = sketch_columns(base, ["x"])
+    path = str(tmp_path / "baseline_sketches")
+    save_baseline(sketches, spark, path, snapshot_id="snap-base")
+    loaded = load_baseline(spark, path)
+    assert abs(loaded["x"].quantile(0.5) - sketches["x"].quantile(0.5)) < 1e-9
+
+    same = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0, 1, 20000)}))
+    shifted = spark.createDataFrame(pd.DataFrame({"x": rng.normal(2.0, 1, 20000)}))
+    ok = drift_report(same, loaded)[0]
+    bad = drift_report(shifted, loaded)[0]
+    assert not ok["drifted"] and bad["drifted"]
