@@ -90,3 +90,50 @@ def test_verdict_totals_partition_invariant(spark, docs):
         return {r["rule_id"]: r["sum(violation_count)"] for r in rows}
 
     assert totals(docs) == totals(docs.repartition(11))
+
+
+def test_normalize_spans_property_sweep(spark):
+    """Arrow-normalizer invariant over adversarial span shapes: for
+    EVERY doc, (kind, media_ref, offset) sequences are preserved
+    exactly and text equals the reference normalization (collapse ASCII
+    whitespace runs, trim) — including unicode, empties, nulls."""
+    import re
+
+    cases = [
+        [{"kind": "text", "text": "  a\t\tb \n c  ", "media_ref": None, "offset": 0}],
+        [{"kind": "text", "text": "", "media_ref": None, "offset": 5}],
+        [{"kind": "text", "text": "  ", "media_ref": None, "offset": 1}],
+        [{"kind": "text", "text": "héllo　wörld", "media_ref": None, "offset": 2}],
+        [{"kind": "image", "text": None, "media_ref": "m-1", "offset": 0},
+         {"kind": "text", "text": " x ", "media_ref": None, "offset": 9}],
+        [],
+        None,
+        [{"kind": "audio", "text": None, "media_ref": "m-2", "offset": None}],
+        [{"kind": "text", "text": "a" * 5000 + "   end", "media_ref": None, "offset": 3}],
+    ]
+    rows = [(f"d{i}", c) for i, c in enumerate(cases)]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    from automatic_data_validator_spark.spans import normalize_spans_arrow
+
+    got = {r["doc_id"]: r["spans"]
+           for r in normalize_spans_arrow(spark.createDataFrame(rows, schema)).collect()}
+
+    def ref_norm(t):
+        # RE2 \s is ASCII; utf8_trim_whitespace trims unicode ws
+        return re.sub(r"[ \t\n\r\f\v]+", " ", t).strip() if t is not None else None
+
+    for i, case in enumerate(cases):
+        out = got[f"d{i}"]
+        if case is None:
+            assert out is None
+            continue
+        assert len(out) == len(case)
+        for o, c in zip(out, case):
+            assert (o["kind"], o["media_ref"], o["offset"]) == (
+                c["kind"], c["media_ref"], c["offset"]), (i, o, c)
+            expected = ref_norm(c["text"])
+            # unicode whitespace: kernel also trims it at the ends
+            if expected is not None:
+                expected = expected.strip()
+            assert o["text"] == expected, (i, o["text"], expected)
