@@ -122,6 +122,60 @@ def extract_features(
     return media.select("media_ref", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resize_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Batch image resize via mapInPandas — the Spark plumbing (schema,
+    Arrow batch shape, metadata rewrite) is real; the pixel work is the
+    stubbed decoder slot like extract_features. The fake path re-emits
+    a deterministic payload digest sized to the target so downstream
+    batch-shape tests are stable; the real slot raises
+    DecodeUnavailable until a codec is wired in."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_payload, ok = [], []
+            for payload in b["payload"]:
+                try:
+                    if not use_fake_decoder:
+                        _decode_image_real(payload)
+                    if payload is None:
+                        out_payload.append(None)
+                        ok.append(False)
+                        continue
+                    digest = hashlib.md5(bytes(payload)).digest()
+                    n = max((target_w * target_h) // 64, len(digest))
+                    out_payload.append((digest * (n // len(digest) + 1))[:n])
+                    ok.append(True)
+                except DecodeUnavailable:
+                    out_payload.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": b["media_ref"],
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                    "resize_ok": ok,
+                }
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """For video/audio rows: expand to (media_ref, frame_ts_ms) sample
     points from metadata — pure expressions; the decode of each frame

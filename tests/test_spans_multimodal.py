@@ -96,3 +96,20 @@ def test_frame_sample_plan(spark):
     audio = media.filter("media_kind = 'audio'").count()
     assert frames.select("media_ref").distinct().count() == audio
     assert frames.filter("frame_ts_ms % 60000 != 0").count() == 0
+
+
+def test_resize_images_plumbing(spark):
+    cat = make_media_catalog(spark, 50)
+    media = MM.synth_media_payloads(cat, payload_bytes=64)
+    resized = MM.resize_images(media, target_w=64, target_h=64)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    assert all(r["resize_ok"] and len(r["payload"]) == 64 for r in rows)
+    # deterministic: same input -> identical payloads across runs
+    again = {r["media_ref"]: bytes(r["payload"])
+             for r in MM.resize_images(media, 64, 64).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_ref"]] for r in rows)
+    # real-decoder slot degrades to resize_ok=false, not a crash
+    real = MM.resize_images(media, 64, 64, use_fake_decoder=False).collect()
+    assert all(not r["resize_ok"] for r in real)
