@@ -268,3 +268,29 @@ def test_simhash_neardup_pairs(spark):
     sh = {r["id"]: r["sh"] for r in df.select("id", D.simhash("text").alias("sh")).collect()}
     for (a, b), h in pairs.items():
         assert h == bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_minhash_single_pass_matches_per_permutation(spark):
+    """One-aggregate minhash must equal the per-permutation formulation
+    on all shapes incl. null/empty/short texts."""
+    texts = ["the quick brown fox jumps over dogs", "a b", "", None,
+             "lorem ipsum dolor sit amet consectetur adipiscing"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(texts)), "text": texts}).astype({"text": object})
+    )
+
+    def minhash_old(text_col, num_hashes=16, shingle_k=3):
+        sh = D.word_shingles(text_col, shingle_k)
+
+        def perm_min(i):
+            return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+        return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+    rows = df.select(
+        "id",
+        D.minhash_signature("text").alias("a"),
+        minhash_old("text").alias("b"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"], (r["id"], r["a"], r["b"])
