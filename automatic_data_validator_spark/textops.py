@@ -205,15 +205,24 @@ def chunk_text(col, chunk_words: int = 64, overlap_words: int = 8) -> Column:
         F.ceil((n - F.lit(overlap_words)).cast("double") / stride).cast("int"),
         F.lit(1),
     )
-    return F.transform(
+    # two chained transforms so the join text is built ONCE per chunk —
+    # interpreted HOF lambdas get no common-subexpression elimination,
+    # so repeating array_join inside one lambda doubles the work
+    raw = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.cast("int").alias("id"),
             F.array_join(F.slice(words, i * stride + 1, chunk_words), " ").alias("text"),
-            F.length(
-                F.array_join(F.slice(words, i * stride + 1, chunk_words), " ")
-            ).alias("length"),
             F.least(n - i * stride, F.lit(chunk_words)).cast("int").alias("n_words"),
+        ),
+    )
+    return F.transform(
+        raw,
+        lambda c: F.struct(
+            c["id"].alias("id"),
+            c["text"].alias("text"),
+            F.length(c["text"]).alias("length"),
+            c["n_words"].alias("n_words"),
         ),
     )
 
