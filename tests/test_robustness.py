@@ -54,3 +54,56 @@ def test_rules_on_all_null_column(spark):
     assert x.count() == 3
     total = v.agg(F.sum("violation_count")).collect()[0][0]
     assert total == 3
+
+
+def test_uniqueness_on_single_key_table(spark):
+    """Degenerate skew: EVERY row shares one key. The salted two-phase
+    agg must not funnel to one reducer and counts stay exact."""
+    from automatic_data_validator_spark.dedup import uniqueness_check
+
+    df = spark.range(40_000).select(F.lit("the-one-key").alias("doc_id"))
+    verdicts, violations = uniqueness_check(df, "doc_id")
+    assert violations.count() == 40_000
+    assert verdicts.agg(F.sum("violation_count")).collect()[0][0] == 40_000
+
+
+def test_span_rules_on_huge_span_arrays(spark):
+    """1k-span docs: the lambda-free order predicate and the Arrow
+    normalizer must handle wide arrays without quadratic behavior."""
+    from automatic_data_validator_spark import rules as RR
+    from automatic_data_validator_spark.spans import normalize_spans_arrow
+
+    docs = spark.range(200).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(999)),
+            lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("w  ord "), i.cast("string")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    v, _ = RR.evaluate_row_rules(
+        docs, [RR.Rule("span_order", "span_order", column="spans")]
+    )
+    assert v.agg(F.sum("violation_count")).collect()[0][0] == 0
+    out = normalize_spans_arrow(docs)
+    row = out.filter(F.col("doc_id") == "d0000").collect()[0]
+    assert len(row["spans"]) == 1000
+    assert row["spans"][5]["text"] == "w ord 5"
+
+
+def test_profile_on_wide_table(spark):
+    """100-column frame: the fused agg stays one pass and returns a
+    stat block per column."""
+    from automatic_data_validator_spark.profile import profile
+
+    cols = {f"c{i:03d}": F.pmod(F.col("id") * (i + 7), F.lit(97)).cast("double")
+            for i in range(100)}
+    df = spark.range(2_000).select(*[v.alias(k) for k, v in cols.items()])
+    p = profile(df, detect_formats=False)
+    assert p.row_count == 2_000
+    assert len(p.stats) == 100
+    assert all("mean" in st for st in p.stats.values())
