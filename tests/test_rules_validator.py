@@ -71,3 +71,71 @@ def test_rule_id_with_comma_rejected():
 
     with _pytest.raises(ValueError, match="comma|,"):
         Rule("bad,id", "not_null", column="doc_id")
+
+
+def test_expr_validator_fuzz_blocked_keywords():
+    """Property: any expression containing a blocked keyword (any
+    casing, word-boundary) is rejected no matter what surrounds it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from automatic_data_validator_spark.rules import validate_sql_expr
+
+    blocked = ["select", "insert", "drop", "exec", "java_method", "reflect",
+               "shell", "system", "truncate"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        kw=st.sampled_from(blocked),
+        prefix=st.text(alphabet="abcz ()+<>=0123456789", max_size=20),
+        suffix=st.text(alphabet="abcz ()+<>=0123456789", max_size=20),
+        upper=st.booleans(),
+    )
+    def check(kw, prefix, suffix, upper):
+        kw2 = kw.upper() if upper else kw
+        expr = f"{prefix} {kw2} {suffix}"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            validate_sql_expr(expr, ["doc_id", "n_chars"])
+
+    check()
+
+
+def test_expr_validator_fuzz_unknown_identifiers():
+    """Property: identifiers outside columns/functions/keywords are
+    always rejected; allowlisted ones always pass."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from automatic_data_validator_spark.rules import (
+        _ALLOWED_FUNCTIONS,
+        _KEYWORDS,
+        validate_sql_expr,
+    )
+
+    ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,12}", fullmatch=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(name=ident)
+    def check(name):
+        import pytest as _pytest
+
+        known = (
+            name.lower() in _KEYWORDS
+            or name.lower() in _ALLOWED_FUNCTIONS
+            or name.lower() in ("doc_id", "n_chars")
+        )
+        blocked_hit = any(
+            b in name.lower()
+            for b in ("select", "insert", "update", "delete", "drop", "create",
+                      "alter", "exec", "shell", "system", "load", "grant",
+                      "truncate", "reflect", "java_method", "overwrite")
+        )
+        if known and not blocked_hit:
+            validate_sql_expr(f"{name} = {name}", ["doc_id", "n_chars"])
+        elif not known:
+            with _pytest.raises(ValueError):
+                validate_sql_expr(f"{name} = 1", ["doc_id", "n_chars"])
+
+    check()
