@@ -41,14 +41,25 @@ def brute_force_topk(
     with a deterministic (sim desc, id asc) tie-break.
     Returns (query_id, neighbor_id, cosine_sim).
     """
+    # norms hoisted to per-ROW columns before the join: cosine inside
+    # the pair projection would recompute both norms per PAIR (3
+    # interpreted HOF passes over dim elements instead of 1)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
     sims = v.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_v"), F.col("_qv")).alias("cosine_sim"),
+        (_dot(F.col("_v"), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -90,6 +101,47 @@ def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: 
     return sig
 
 
+def _plane_matrix(n_planes: int, dim: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1.0, 1.0, size=(n_planes, dim))
+
+
+def hyperplane_signatures_batch(
+    vec_col: str, n_planes: int, dim: int, seeds: "list[int]"
+):
+    """All LSH tables' signatures in ONE Arrow-batched matmul.
+
+    Returns array<bigint> (one packed signature per table). Per batch:
+    (rows x dim) @ (dim x tables*planes) in BLAS, then a bitpack — vs
+    the expression path's n_tables x n_planes interpreted aggregate()
+    calls per row. Same plane weights as hyperplane_signature (seeded
+    numpy), so buckets agree except for projections within float-sum
+    reordering of 0 (measure-zero for real data)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.concatenate(
+        [_plane_matrix(n_planes, dim, s).T for s in seeds], axis=1
+    )  # dim x (tables*planes)
+    bits = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sig(s):  # pd.Series of array<float|double> -> pd.Series of list<long>
+        M = np.array(s.tolist(), dtype=np.float64)
+        if M.ndim != 2:  # empty batch
+            return pd.Series([], dtype=object)
+        P = (M @ W) > 0
+        packed = [
+            P[:, t * n_planes : (t + 1) * n_planes] @ bits for t in range(len(seeds))
+        ]
+        return pd.Series(list(np.stack(packed, axis=1)))
+
+    return sig(F.col(vec_col))
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -106,14 +158,27 @@ def cosine_neardup_pairs(
     those pairs are scored (candidates broadcast, vector table never
     shuffled — same layering as dedup.ngram_jaccard after MinHash)."""
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    va = vectors.select(F.col(id_col).alias("id_a"), dbl(F.col(vec_col)).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), dbl(F.col(vec_col)).alias("_vb"))
+    # norms are per-row columns, not per-pair recomputation
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        dbl(F.col(vec_col)).alias("_va"),
+        _norm(dbl(F.col(vec_col))).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        dbl(F.col(vec_col)).alias("_vb"),
+        _norm(dbl(F.col(vec_col))).alias("_nb"),
+    )
     if candidates is None:
         pairs = va.crossJoin(vb).filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = F.broadcast(candidates).join(va, "id_a").join(vb, "id_b")
     return pairs.select(
-        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
+        "id_a",
+        "id_b",
+        (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+            "cosine_sim"
+        ),
     ).filter(F.col("cosine_sim") >= threshold)
 
 
@@ -199,20 +264,26 @@ def ivf_topk(
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["_qv"], dtype=np.float64)
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        qnorm = float(np.sqrt(float(qv @ qv)))  # query norms precomputed driver-side
+        qn = qv / max(qnorm, 1e-12)
         order = np.argsort(-(cents_n @ qn))[:nprobe]
         for lst in order:
-            probe_rows.append((r["query_id"], int(lst), [float(x) for x in qv]))
+            probe_rows.append((r["query_id"], int(lst), [float(x) for x in qv], qnorm))
     spark = assigned.sparkSession
     probes = spark.createDataFrame(
-        probe_rows, "query_id long, _list int, _qv array<double>"
+        probe_rows, "query_id long, _list int, _qv array<double>, _qn double"
     )
-    cand = assigned.join(F.broadcast(probes), "_list").select(
+    # data-side norm hoisted to one per-row pass before the probe join
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    prepared = assigned.select(
+        F.col(id_col), F.col("_list"), dv.alias("_vd"), _norm(dv).alias("_vn")
+    )
+    cand = prepared.join(F.broadcast(probes), "_list").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")), F.col("_qv")
-        ).alias("cosine_sim"),
+        (_dot(F.col("_vd"), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -234,19 +305,35 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any of
     ``n_tables`` hyperplane-signature buckets with the query, then
     exact cosine rank within candidates. The bucket join is an
     equi-join on (table, signature) — shuffle on 8-byte keys only.
-    ``dim`` is inferred from the (small) query side when omitted."""
+    ``dim`` is inferred from the (small) query side when omitted.
+    signature_impl: 'arrow' (default) computes all tables' signatures
+    in one BLAS matmul per Arrow batch; 'expr' keeps the pure-Catalyst
+    expression path (no Python workers, same weights)."""
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
+    seeds = [seed + t for t in range(n_tables)]
 
     def with_sigs(df, idc):
+        # norm hoisted next to the vector BEFORE the signature explode:
+        # one norm pass per row, copied (not recomputed) per table row
+        if signature_impl == "arrow":
+            sigs = hyperplane_signatures_batch(vec_col, n_planes, dim, seeds)
+            return df.select(
+                F.col(idc).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                _norm(F.col(vec_col)).alias("_n"),
+                F.posexplode(sigs).alias("tbl", "sig"),
+            )
         return df.select(
             F.col(idc).alias("_id"),
             F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
             F.explode(
                 F.array(
                     *[
@@ -260,19 +347,26 @@ def lsh_topk(
                     ]
                 )
             ).alias("b"),
-        ).select("_id", "_v", "b.tbl", "b.sig")
+        ).select("_id", "_v", "_n", "b.tbl", "b.sig")
 
     vs = with_sigs(vectors, id_col)
-    qs = with_sigs(queries, query_id_col).withColumnRenamed("_id", "query_id").withColumnRenamed(
-        "_v", "_qv"
+    qs = (
+        with_sigs(queries, query_id_col)
+        .withColumnRenamed("_id", "query_id")
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_n", "_qn")
     )
     cand = (
         vs.join(F.broadcast(qs), ["tbl", "sig"])
-        .select("query_id", F.col("_id").alias("neighbor_id"), "_v", "_qv")
+        .select("query_id", F.col("_id").alias("neighbor_id"), "_v", "_n", "_qv", "_qn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sims = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_v"), F.col("_qv")).alias("cosine_sim")
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -294,3 +294,38 @@ def test_minhash_single_pass_matches_per_permutation(spark):
     ).collect()
     for r in rows:
         assert r["a"] == r["b"], (r["id"], r["a"], r["b"])
+
+
+def test_lsh_signature_impls_agree(spark):
+    """BLAS-batch and Catalyst-expression signature paths share the
+    same plane weights: bucket assignments (and thus candidates) must
+    agree on real-valued data."""
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(120, 24)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120), "embedding": [v.tolist() for v in vecs]})
+    )
+    seeds = [42, 43, 44]
+    arrow = df.select(
+        "vec_id",
+        S.hyperplane_signatures_batch("embedding", 10, 24, seeds).alias("s"),
+    ).collect()
+    got_arrow = {r["vec_id"]: list(r["s"]) for r in arrow}
+    exprs = df.select(
+        "vec_id",
+        *[
+            S.hyperplane_signature("embedding", 10, dim=24, seed=sd).alias(f"s{i}")
+            for i, sd in enumerate(seeds)
+        ],
+    ).collect()
+    got_expr = {r["vec_id"]: [r["s0"], r["s1"], r["s2"]] for r in exprs}
+    assert got_arrow == got_expr
+    # and the full topk flows agree on both impls
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [3], "embedding": [vecs[3].tolist()]})
+    )
+    a = {r["neighbor_id"] for r in
+         S.lsh_topk(df, q, k=8, n_planes=8, n_tables=4, signature_impl="arrow").collect()}
+    b = {r["neighbor_id"] for r in
+         S.lsh_topk(df, q, k=8, n_planes=8, n_tables=4, signature_impl="expr").collect()}
+    assert a == b
