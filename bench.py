@@ -84,6 +84,41 @@ def main() -> None:
     docs = spark.read.parquet(f"{work}/documents")
     catalog = spark.read.parquet(f"{work}/media_catalog")
     log(f"synth input materialized at {work}")
+
+    # --- micro-benches run BEFORE the e2e job: its output writes evict
+    # the input from page cache and made these bimodal (1.2s vs 6.5s)
+    from automatic_data_validator_spark.spans import normalize_spans_arrow
+
+    normalize_spans_arrow(docs.limit(5000)).count()  # warm-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = normalize_spans_arrow(docs).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["normalize_1m"] = round(best, 3)
+    log(f"normalize_1m: {best:.3f}s ({n} docs)")
+
+    from pyspark.sql import functions as _F
+
+    from automatic_data_validator_spark.dedup import minhash_signature
+
+    txt = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = txt
+    while big.count() < 160_000:
+        big = big.unionByName(big)
+    big = big.cache()
+    n_txt = big.count()
+    probe = _F.sum(_F.pmod(_F.element_at(minhash_signature("text"), 1), _F.lit(997)))
+    big.limit(2000).select(probe).collect()  # warm-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        big.select(probe).collect()
+        best = min(best, time.perf_counter() - t0)
+    timings["minhash_sig_160k"] = round(best, 3)
+    log(f"minhash_sig_160k: {best:.3f}s ({n_txt} texts)")
+    big.unpersist()
+
     # untimed warm-up on a 20x smaller table: JIT + codegen for the
     # validation plans out of the timed region (same policy as the
     # headline-query warm-up above)
@@ -123,40 +158,6 @@ def main() -> None:
     docs_per_sec = round(n_docs / dt, 1)
     log(f"validate_e2e: {dt:.3f}s on {n_docs} docs -> {docs_per_sec} docs/s "
         f"({n_viol} violation rows)")
-
-    # --- Arrow span-normalizer micro-bench over the same 1M-doc table ------
-    from automatic_data_validator_spark.spans import normalize_spans_arrow
-
-    normalize_spans_arrow(docs.limit(5000)).count()  # warm-up
-    best = float("inf")
-    for _ in range(2):  # best-of-2: micro-benches right after the big
-        t0 = time.perf_counter()  # e2e job see GC/page-cache noise
-        n = normalize_spans_arrow(docs).count()
-        best = min(best, time.perf_counter() - t0)
-    timings["normalize_1m"] = round(best, 3)
-    log(f"normalize_1m: {best:.3f}s ({n} docs)")
-
-    # --- MinHash signature micro-bench (dedup family hot expr) at 160k ----
-    from pyspark.sql import functions as _F
-
-    from automatic_data_validator_spark.dedup import minhash_signature
-
-    txt = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    big = txt
-    while big.count() < 160_000:
-        big = big.unionByName(big)
-    big = big.cache()
-    n_txt = big.count()
-    probe = _F.sum(_F.pmod(_F.element_at(minhash_signature("text"), 1), _F.lit(997)))
-    big.limit(2000).select(probe).collect()  # warm-up
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        big.select(probe).collect()
-        best = min(best, time.perf_counter() - t0)
-    timings["minhash_sig_160k"] = round(best, 3)
-    log(f"minhash_sig_160k: {best:.3f}s ({n_txt} texts)")
-    big.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
