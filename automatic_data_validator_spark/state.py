@@ -45,11 +45,31 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+def iceberg_snapshot_id(spark: SparkSession, table_name: str) -> str | None:
+    """Current Iceberg snapshot id via the standard ``<table>.snapshots``
+    metadata table (public Iceberg SQL surface). Returns None when the
+    catalog/table doesn't expose it (e.g. plain parquet paths, or this
+    sandbox, which has no Iceberg runtime jar — exercised on clusters
+    only; snapshot_of() below is the runtime-agnostic fallback)."""
+    try:
+        row = (
+            spark.sql(
+                f"SELECT snapshot_id FROM {table_name}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+        )
+        return f"snap-{row[0]['snapshot_id']}" if row else None
+    except Exception:
+        return None
+
+
 def snapshot_of(df: DataFrame) -> str:
-    """Deterministic snapshot id for a DataFrame's input: Iceberg
-    snapshot id when the relation exposes one; else a hash of the
+    """Deterministic snapshot id for a DataFrame's input: a hash of the
     input file list (path, size) — so a resumed run against CHANGED
-    input invalidates stale checkpoints instead of reusing them."""
+    input invalidates stale checkpoints instead of reusing them.
+    Works for any file-based source; for Iceberg TABLES prefer
+    ``iceberg_snapshot_id`` (true snapshot identity, including
+    compaction-only changes that keep file sizes)."""
     import hashlib
 
     try:

@@ -118,3 +118,11 @@ def test_state_backup_rotation(tmp_path):
 
     left = sorted(glob.glob(str(tmp_path / "ckpt5" / "_state.bak*.json")))
     assert len(left) == 2 and left[-1] == paths[-1]
+
+
+def test_iceberg_snapshot_helper_degrades_gracefully(spark):
+    """No Iceberg runtime in this sandbox: the helper must return None
+    (not raise) so callers fall back to snapshot_of()."""
+    from automatic_data_validator_spark.state import iceberg_snapshot_id
+
+    assert iceberg_snapshot_id(spark, "nonexistent.table") is None
