@@ -79,12 +79,19 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = read_table(spark, args.documents)
     catalog = read_table(spark, args.catalog) if args.catalog else None
+    snapshot_id = args.snapshot_id
+    if snapshot_id == "auto" and not os.path.exists(args.documents):
+        # table name, not a path: prefer the true Iceberg snapshot id;
+        # run_validation's "auto" (input-file hash) is the fallback
+        from automatic_data_validator_spark.state import iceberg_snapshot_id
+
+        snapshot_id = iceberg_snapshot_id(spark, args.documents) or "auto"
     res = run_validation(
         spark,
         docs,
         catalog=catalog,
         checkpoint_dir=args.checkpoint,
-        snapshot_id=args.snapshot_id,
+        snapshot_id=snapshot_id,
         rule_version=args.rule_version,
         with_profile=not args.no_profile,
     )
