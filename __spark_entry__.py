@@ -31,30 +31,47 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _spans_from_flat(docs: DataFrame) -> DataFrame:
     """Deterministically lift the flat documents table into the
     interleaved span model: text split into 5-word text spans, plus a
-    media span derived from doc_id every 3rd doc."""
-    words = F.split(F.col("text"), r"\s+")
-    n = F.size(words)
-    k = F.lit(5)
-    n_chunks = F.greatest((n + k - 1).cast("int") / k, F.lit(1)).cast("int")
-    text_spans = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.lit("text").alias("kind"),
-            F.array_join(F.slice(words, i * 5 + 1, 5), " ").alias("text"),
-            F.lit(None).cast("string").alias("media_ref"),
-            (i * 8).cast("int").alias("offset"),
-        ),
+    media span derived from doc_id every 3rd doc. The word array is
+    let-bound (textops._let) so the split runs once per row, not per
+    chunk."""
+    # everything the lambda needs is bound through the let struct —
+    # outer F.col refs inside a HOF lambda resolve against the SELECT's
+    # lateral aliases (here the formatted doc_id string), not the child
+    bound = F.array(
+        F.struct(
+            F.split(F.col("text"), r"\s+").alias("w"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("has_media"),
+            F.format_string(
+                "media-%08d", F.pmod(F.col("doc_id"), F.lit(1000))
+            ).alias("mref"),
+        )
     )
-    media_span = F.struct(
-        F.lit("image").alias("kind"),
-        F.lit(None).cast("string").alias("text"),
-        F.format_string("media-%08d", F.pmod(F.col("doc_id"), F.lit(1000))).alias("media_ref"),
-        (n_chunks * 8).cast("int").alias("offset"),
-    )
-    spans = F.when(
-        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
-        F.concat(text_spans, F.array(media_span)),
-    ).otherwise(text_spans)
+
+    def spans_of(b):
+        words = b["w"]
+        n = F.size(words)
+        k = F.lit(5)
+        n_chunks = F.greatest((n + k - 1).cast("int") / k, F.lit(1)).cast("int")
+        text_spans = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.array_join(F.slice(words, i * 5 + 1, 5), " ").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                (i * 8).cast("int").alias("offset"),
+            ),
+        )
+        media_span = F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            b["mref"].alias("media_ref"),
+            (n_chunks * 8).cast("int").alias("offset"),
+        )
+        return F.when(
+            b["has_media"], F.concat(text_spans, F.array(media_span))
+        ).otherwise(text_spans)
+
+    spans = F.element_at(F.transform(bound, spans_of), 1)
     return docs.select(
         F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
         spans.alias("spans"),
