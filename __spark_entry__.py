@@ -37,14 +37,12 @@ def _spans_from_flat(docs: DataFrame) -> DataFrame:
     # everything the lambda needs is bound through the let struct —
     # outer F.col refs inside a HOF lambda resolve against the SELECT's
     # lateral aliases (here the formatted doc_id string), not the child
-    bound = F.array(
-        F.struct(
-            F.split(F.col("text"), r"\s+").alias("w"),
-            (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("has_media"),
-            F.format_string(
-                "media-%08d", F.pmod(F.col("doc_id"), F.lit(1000))
-            ).alias("mref"),
-        )
+    bound = F.struct(
+        F.split(F.col("text"), r"\s+").alias("w"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("has_media"),
+        F.format_string(
+            "media-%08d", F.pmod(F.col("doc_id"), F.lit(1000))
+        ).alias("mref"),
     )
 
     def spans_of(b):
@@ -71,7 +69,9 @@ def _spans_from_flat(docs: DataFrame) -> DataFrame:
             b["has_media"], F.concat(text_spans, F.array(media_span))
         ).otherwise(text_spans)
 
-    spans = F.element_at(F.transform(bound, spans_of), 1)
+    from automatic_data_validator_spark.textops import _let
+
+    spans = _let(bound, spans_of)
     return docs.select(
         F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
         spans.alias("spans"),

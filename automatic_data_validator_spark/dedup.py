@@ -110,6 +110,9 @@ def uniqueness_check(
     if isinstance(partition_totals, DataFrame):
         from .rules import distributed_verdicts
 
+        # dups stays persisted here: the lazy violations plan still
+        # references it and nothing has materialized yet (the caller's
+        # first action does); LRU eviction reclaims it when cold
         return (
             distributed_verdicts(partition_totals, violations, rule_id),
             violations,
@@ -125,6 +128,9 @@ def uniqueness_check(
         r["partition_id"]: r["cnt"]
         for r in violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    # violations is now materialized in cache; the dup-key set served
+    # its joins — release it instead of pinning one cache entry per call
+    dups.unpersist()
     spark = df.sparkSession
     rows = [
         (int(pid), rule_id, int(total), int(viol_by_pid.get(pid, 0)),
@@ -211,7 +217,7 @@ def word_shingles(text_col: str, k: int = 3):
     for EVERY shingle (interpreted HOFs have no CSE): O(words^2)
     work per row, measured 2.7x slower on minhash at 160k docs
     (6.8s -> 2.5s; 45x combined with the single-pass signature fold)."""
-    split_expr = F.split(F.lower(F.col(text_col)), r"\s+")
+    from .textops import _let
 
     def shingles_of(words):
         n = F.size(words)
@@ -223,7 +229,7 @@ def word_shingles(text_col: str, k: int = 3):
             ),
         ).otherwise(F.array(F.array_join(words, " ")))
 
-    return F.element_at(F.transform(F.array(split_expr), shingles_of), 1)
+    return _let(F.split(F.lower(F.col(text_col)), r"\s+"), shingles_of)
 
 
 def minhash_signature(text_col: str, num_hashes: int = 16, shingle_k: int = 3):
@@ -363,10 +369,11 @@ def simhash(text_col: str, bits: int = 64):
     measured 20x slower than native exprs, see rules.py. Single-pass
     measured 3.1x faster at 160k docs, local[16].)
     """
+    quoted = "`" + text_col.replace("`", "``") + "`"
     return F.expr(
         f"""
         aggregate(
-          transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t)),
+          transform(split(lower({quoted}), '\\\\s+'), t -> xxhash64(t)),
           array_repeat(0L, {bits}),
           (acc, h) -> zip_with(
               acc, sequence(0, {bits - 1}),
@@ -465,12 +472,15 @@ def ngram_jaccard(
     )
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
-    # the candidate set is small post-LSH: broadcast it through both
-    # joins so the shingle table is never shuffled
-    half = F.broadcast(candidate_pairs).join(a, "id_a")
+    # broadcast ONLY the id-pair list (8-byte keys) into each shingle
+    # lookup — never an intermediate carrying shingle arrays (that
+    # broadcast would scale with pairs x document size). The final join
+    # shuffles 2 rows per candidate pair, bounded by the pair count.
+    left = F.broadcast(candidate_pairs).join(a, "id_a")
+    right = F.broadcast(candidate_pairs).join(b, "id_b")
     return (
-        F.broadcast(half)
-        .join(b, "id_b")
+        left
+        .join(right, ["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",

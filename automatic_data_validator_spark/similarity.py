@@ -80,12 +80,13 @@ def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: 
     regeneration (the previous formulation re-derived every weight
     from xxhash64 inside nested HOF lambdas: O(planes x dim)
     interpreted work per row; now only the dot products remain).
-    ``dim`` must match the embedding length.
+    ``dim`` must match the embedding length: mismatched rows get a
+    NULL signature (they drop out of bucket equi-joins) instead of the
+    silent all-zero signature a null-padded zip_with would produce —
+    an all-zero sig would collapse every row into ONE bucket and make
+    the LSH join quadratic.
     """
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.uniform(-1.0, 1.0, size=(n_planes, dim))
+    planes = _plane_matrix(n_planes, dim, seed)  # single weight source
     v = F.col(vec_col)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -98,7 +99,7 @@ def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64, seed: 
         sig = sig.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         )
-    return sig
+    return F.when(F.size(v) == dim, sig)
 
 
 def _plane_matrix(n_planes: int, dim: int, seed: int):
@@ -130,14 +131,29 @@ def hyperplane_signatures_batch(
 
     @pandas_udf("array<bigint>")
     def sig(s):  # pd.Series of array<float|double> -> pd.Series of list<long>
-        M = np.array(s.tolist(), dtype=np.float64)
-        if M.ndim != 2:  # empty batch
-            return pd.Series([], dtype=object)
-        P = (M @ W) > 0
-        packed = [
-            P[:, t * n_planes : (t + 1) * n_planes] @ bits for t in range(len(seeds))
-        ]
-        return pd.Series(list(np.stack(packed, axis=1)))
+        out = np.empty(len(s), dtype=object)
+        out[:] = None  # null embeddings -> null signature, not a crash
+        valid = s.notna().to_numpy()
+        if valid.any():
+            try:
+                M = np.array(s[valid].tolist(), dtype=np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    f"hyperplane_signatures_batch: embeddings must all have "
+                    f"dim={dim} (jagged batch)"
+                ) from e
+            if M.shape[1] != dim:
+                raise ValueError(
+                    f"hyperplane_signatures_batch: embeddings have dim "
+                    f"{M.shape[1]}, expected {dim}"
+                )
+            P = (M @ W) > 0
+            packed = [
+                P[:, t * n_planes : (t + 1) * n_planes] @ bits
+                for t in range(len(seeds))
+            ]
+            out[np.flatnonzero(valid)] = list(np.stack(packed, axis=1))
+        return pd.Series(out)
 
     return sig(F.col(vec_col))
 
@@ -316,7 +332,13 @@ def lsh_topk(
     in one BLAS matmul per Arrow batch; 'expr' keeps the pure-Catalyst
     expression path (no Python workers, same weights)."""
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        row = queries.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if row is None:
+            raise ValueError(
+                "lsh_topk: cannot infer embedding dim from an empty/all-null "
+                "query set — pass dim= explicitly"
+            )
+        dim = len(row[0])
     seeds = [seed + t for t in range(n_tables)]
 
     def with_sigs(df, idc):

@@ -138,8 +138,12 @@ def normalize_spans_arrow(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             children["text"] = pc.utf8_trim_whitespace(
                 pc.replace_substring_regex(children["text"], r"\s+", " ")
             )
+            # carry the element validity: without mask a NULL span
+            # element would come back as a non-null all-defaults struct
             new_st = pa.StructArray.from_arrays(
-                [children[f] for f in fields], names=fields
+                [children[f] for f in fields],
+                names=fields,
+                mask=pc.is_null(st),
             )
             new_lst = pa.ListArray.from_arrays(
                 lst.offsets, new_st, mask=pc.is_null(lst)

@@ -120,6 +120,8 @@ def run_validation(
             if ckpt:
                 ckpt.write(name, "verdicts", vdf)
                 ckpt.write(name, "violations", violations)
+                if spill:
+                    vdf.unpersist()  # parquet read-back replaces the cache
                 vdf = ckpt.read(spark, name, "verdicts")
                 violations = ckpt.read(spark, name, "violations")
                 ckpt.mark_done(name, duration_s=duration_s)

@@ -329,3 +329,36 @@ def test_lsh_signature_impls_agree(spark):
     b = {r["neighbor_id"] for r in
          S.lsh_topk(df, q, k=8, n_planes=8, n_tables=4, signature_impl="expr").collect()}
     assert a == b
+
+
+def test_lsh_arrow_signatures_tolerate_null_embeddings(spark):
+    """Null embeddings yield null signatures (dropped from buckets),
+    never a worker crash; all-null batches also survive."""
+    pdf = pd.DataFrame({"vec_id": [0, 1, 2],
+                        "embedding": [[1.0] * 8, None, [0.5] * 8]}).astype(object)
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r["s"] for r in df.select(
+        "vec_id", S.hyperplane_signatures_batch("embedding", 6, 8, [42]).alias("s")
+    ).collect()}
+    assert rows[1] is None and rows[0] is not None and rows[2] is not None
+    allnull = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [9], "embedding": [None]}).astype(object),
+        "vec_id long, embedding array<double>",
+    )
+    got = allnull.select(
+        S.hyperplane_signatures_batch("embedding", 6, 8, [42]).alias("s")
+    ).collect()
+    assert got[0]["s"] is None
+    # expression path: wrong-dim vector -> NULL signature, not all-zero
+    wrong = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [3], "embedding": [[1.0] * 5]}),
+        "vec_id long, embedding array<double>",
+    )
+    sig = wrong.select(S.hyperplane_signature("embedding", 6, dim=8).alias("s")).collect()
+    assert sig[0]["s"] is None
+
+
+def test_simhash_quoted_column_name(spark):
+    df = spark.createDataFrame(pd.DataFrame({"the text": ["hello world"]}))
+    r = df.select(D.simhash("the text").alias("s")).collect()
+    assert isinstance(r[0]["s"], int)

@@ -113,3 +113,21 @@ def test_resize_images_plumbing(spark):
     # real-decoder slot degrades to resize_ok=false, not a crash
     real = MM.resize_images(media, 64, 64, use_fake_decoder=False).collect()
     assert all(not r["resize_ok"] for r in real)
+
+
+def test_normalize_preserves_null_span_elements(spark):
+    """A NULL element INSIDE a spans array must stay null (the struct
+    validity bitmap must survive the Arrow rebuild), not become a
+    non-null all-defaults span."""
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    df = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "  a  b ", "media_ref": None, "offset": 0},
+                 None,
+                 {"kind": "image", "text": None, "media_ref": "m-9", "offset": 8}])],
+        schema,
+    )
+    out = SP.normalize_spans_arrow(df).collect()[0]["spans"]
+    assert len(out) == 3
+    assert out[0]["text"] == "a b"
+    assert out[1] is None
+    assert out[2]["media_ref"] == "m-9"
