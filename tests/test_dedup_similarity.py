@@ -154,8 +154,13 @@ def test_uniqueness_fallback_matches_broadcast(spark, docs):
     """Above broadcast_limit the dup-set join must fall back to a
     shuffle left-semi with IDENTICAL violations (VERDICT r1 #3)."""
     v_b, viol_b = D.uniqueness_check(docs, "doc_id")
+    a0 = sorted((r["doc_id"], r["partition_id"]) for r in viol_b.collect())
+    # unpersist so the fallback variant cannot silently reuse this
+    # cache (cache lookup canonicalizes away join hints)
+    viol_b.unpersist()
     v_s, viol_s = D.uniqueness_check(docs, "doc_id", broadcast_limit=0)
     a = sorted((r["doc_id"], r["partition_id"]) for r in viol_b.collect())
+    assert a == a0
     b = sorted((r["doc_id"], r["partition_id"]) for r in viol_s.collect())
     assert a == b and a
     assert sorted(map(tuple, v_b.collect())) == sorted(map(tuple, v_s.collect()))
