@@ -345,6 +345,35 @@ def load_baseline(spark, path: str) -> "dict[str, TDigest]":
     }
 
 
+def schema_snapshot(df: DataFrame) -> "dict[str, str]":
+    """{column: simple type string} — the schema side of a baseline
+    snapshot (store it next to the sketch parquet)."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def schema_drift(
+    current_df: DataFrame, baseline: "dict[str, str]"
+) -> "list[dict]":
+    """Structural drift vs a baseline schema snapshot: added / removed
+    / type-changed columns. Purely metadata — no job runs. Complements
+    the distributional KS/PSI checks (a column that silently changed
+    from int to string won't show in value sketches that no longer
+    build)."""
+    cur = schema_snapshot(current_df)
+    out = []
+    for c in sorted(set(baseline) - set(cur)):
+        out.append({"column": c, "kind": "removed", "baseline": baseline[c], "current": None})
+    for c in sorted(set(cur) - set(baseline)):
+        out.append({"column": c, "kind": "added", "baseline": None, "current": cur[c]})
+    for c in sorted(set(cur) & set(baseline)):
+        if cur[c] != baseline[c]:
+            out.append(
+                {"column": c, "kind": "type_changed",
+                 "baseline": baseline[c], "current": cur[c]}
+            )
+    return out
+
+
 def quantile_grid(df: DataFrame, column: str, grid: list[float]) -> list[float]:
     """Cheap path: percentile_approx on a fixed grid (no sketch)."""
     row = df.agg(

@@ -190,3 +190,20 @@ def test_baseline_snapshot_roundtrip_and_drift(spark, tmp_path):
     ok = drift_report(same, loaded)[0]
     bad = drift_report(shifted, loaded)[0]
     assert not ok["drifted"] and bad["drifted"]
+
+
+def test_schema_drift_detects_structural_changes(spark):
+    from automatic_data_validator_spark.drift import schema_drift, schema_snapshot
+
+    base = spark.createDataFrame([(1, "a", 0.5)], "id long, name string, score double")
+    snap = schema_snapshot(base)
+    same = spark.createDataFrame([(2, "b", 0.1)], "id long, name string, score double")
+    assert schema_drift(same, snap) == []
+    changed = spark.createDataFrame(
+        [(1, "x", "0.5", True)], "id long, name string, score string, flag boolean"
+    )
+    drift = {(d["column"], d["kind"]) for d in schema_drift(changed, snap)}
+    assert drift == {("flag", "added"), ("score", "type_changed")}
+    dropped = spark.createDataFrame([(1,)], "id long")
+    kinds = {(d["column"], d["kind"]) for d in schema_drift(dropped, snap)}
+    assert kinds == {("name", "removed"), ("score", "removed")}
