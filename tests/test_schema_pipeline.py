@@ -118,3 +118,39 @@ def test_topk_values(spark):
         by_col.setdefault(r["col_name"], []).append((r["rnk"], r["value"], r["cnt"]))
     assert sorted(by_col["u"]) == [(1, "a", 50), (2, "b", 30)]
     assert sorted(by_col["v"]) == [(1, "x", 99), (2, "y", 1)]
+
+
+def test_emitted_pipeline_actually_runs(spark, tmp_path):
+    """The emitted runner must EXECUTE end to end in a fresh process
+    (new JVM), not just compile: reload rules from its embedded JSON,
+    validate, write all outputs plus the cleaned table."""
+    import os
+    import subprocess
+    import sys
+
+    from automatic_data_validator_spark.correct import CorrectionPlan
+    from automatic_data_validator_spark.rules import Rule
+
+    rules = [
+        Rule("not_null_doc_id", "not_null", column="doc_id"),
+        Rule("n_pos", "expr", expr="n_chars >= 0"),
+    ]
+    plan = CorrectionPlan(imputations={"n_chars": 0},
+                          caps={"n_chars": (0.0, 100.0)})
+    script = emit_pipeline(rules, plan)
+    sp = tmp_path / "advs_pipeline.py"
+    sp.write_text(script)
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("d1", 5), ("d2", None), (None, 7)], "doc_id string, n_chars int"
+    ).write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    out = str(tmp_path / "out")
+    proc = subprocess.run([sys.executable, str(sp), inp, out],
+                          capture_output=True, text=True, env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for name in ("verdicts", "violations", "lineage", "cleaned"):
+        got = spark.read.parquet(f"{out}/{name}")
+        assert got.count() >= 0
+    cleaned = spark.read.parquet(f"{out}/cleaned").collect()
+    assert all(r["n_chars"] is not None for r in cleaned)  # fillna applied
