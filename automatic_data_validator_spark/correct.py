@@ -90,19 +90,26 @@ def build_plan(
             iqr = st["q3"] - st["q1"]
             if iqr > 0:
                 plan.caps[c] = (st["q1"] - 1.5 * iqr, st["q3"] + 1.5 * iqr)
-    # resolve modes in one fused pass: mode(c) via count per value with
-    # (count desc, value asc) tie-break — reference mode()[0] semantics
+    # resolve ALL modes in one fused melt+window job: mode(c) = most
+    # frequent non-null value, (count desc, value asc) tie-break —
+    # reference mode()[0] semantics (previously one job per column)
     mode_cols = [c for c, v in plan.imputations.items() if v == "__MODE__"]
-    for c in mode_cols:
+    if mode_cols:
+        stack_expr = ", ".join(f"'{c}', `{c}`" for c in mode_cols)
+        melted = df.select(
+            F.expr(f"stack({len(mode_cols)}, {stack_expr}) as (col_name, value)")
+        ).filter(F.col("value").isNotNull())
+        w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("value"))
         top = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(c)
-            .count()
-            .orderBy(F.desc("count"), F.asc(c))
-            .limit(1)
+            melted.groupBy("col_name", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") == 1)
             .collect()
         )
-        plan.imputations[c] = top[0][0] if top else "Unknown"
+        modes = {r["col_name"]: r["value"] for r in top}
+        for c in mode_cols:
+            plan.imputations[c] = modes.get(c, "Unknown")
     plan.standardize_columns = standardize or []
     plan.casts = casts or {}
     return plan
