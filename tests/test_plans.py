@@ -27,6 +27,10 @@ def test_scan_pushdown_reaches_parquet(spark):
 
 
 def test_uniqueness_join_strategy_by_dup_set_size(spark, docs):
+    # cached violations from OTHER tests would be plan-matched here
+    # (cache lookup ignores join hints), so start from a clean cache;
+    # DataFrames with a set storage level re-cache on next action
+    spark.catalog.clearCache()
     _, viol_b = D.uniqueness_check(docs, "doc_id")
     p = _final_plan(viol_b)
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
