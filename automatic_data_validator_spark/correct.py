@@ -95,7 +95,12 @@ def build_plan(
     # reference mode()[0] semantics (previously one job per column)
     mode_cols = [c for c, v in plan.imputations.items() if v == "__MODE__"]
     if mode_cols:
-        stack_expr = ", ".join(f"'{c}', `{c}`" for c in mode_cols)
+        stack_expr = ", ".join(
+            "'{lbl}', `{ref}`".format(
+                lbl=c.replace("'", "''"), ref=c.replace("`", "``")
+            )
+            for c in mode_cols
+        )
         melted = df.select(
             F.expr(f"stack({len(mode_cols)}, {stack_expr}) as (col_name, value)")
         ).filter(F.col("value").isNotNull())

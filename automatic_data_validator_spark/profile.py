@@ -213,13 +213,14 @@ def _suggest(p: ProfileResult) -> dict[str, dict[str, Any]]:
     integer-like floats => bigint.
     """
     out: dict[str, dict[str, Any]] = {}
-    n = max(p.row_count, 1)
+    n_rows = p.row_count  # real count: an empty table has 0 nulls
+    n = max(n_rows, 1)    # denominator guard only
     for c, st in p.stats.items():
         sug: dict[str, Any] = {}
         non_null = st.get("non_null_count") or 0.0
         nn = max(non_null, 1.0)
-        sug["null_count"] = n - int(non_null)
-        sug["null_percentage"] = 100.0 * (n - non_null) / n
+        sug["null_count"] = max(n_rows - int(non_null), 0)
+        sug["null_percentage"] = 100.0 * sug["null_count"] / n
         distinct = st.get("distinct_count") or 0.0
         sug["unique_count"] = int(distinct)
         sug["unique_percentage"] = 100.0 * distinct / n
@@ -231,7 +232,6 @@ def _suggest(p: ProfileResult) -> dict[str, dict[str, Any]]:
         suggested = dtype
         if dtype == "string" and non_null > 0:
             if (st.get("numeric_conv_count") or 0) / nn > config.NUMERIC_CONVERT_THRESHOLD:
-                int_like = True  # refined below only when numeric
                 suggested = "double"
             else:
                 fmt_found = None
@@ -295,12 +295,18 @@ def categorical_inconsistency(
     )
     w_var = Window.partitionBy("norm_key")
     w_rank = Window.partitionBy("norm_key").orderBy(F.desc("cnt"), F.asc("value"))
+    # cap at max_groups GROUPS, deterministically (largest groups
+    # first) — a bare row limit would truncate arbitrary variant rows,
+    # possibly splitting a group from its canonical row
+    w_grp = Window.orderBy(F.desc("grp_cnt"), F.asc("norm_key"))
     return (
         counts.withColumn("n_variants", F.count(F.lit(1)).over(w_var))
         .filter(F.col("n_variants") > 1)
         .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
+        .withColumn("grp_cnt", F.sum("cnt").over(w_var))
+        .withColumn("_grp_rank", F.dense_rank().over(w_grp))
+        .filter(F.col("_grp_rank") <= max_groups)
         .select("norm_key", "value", "cnt", "is_canonical")
-        .limit(max_groups)
     )
 
 
@@ -378,7 +384,12 @@ def topk_values(
     (col_name, value, cnt, rnk)."""
     from pyspark.sql import Window
 
-    stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in columns)
+    stack_expr = ", ".join(
+        "'{lbl}', cast(`{ref}` as string)".format(
+            lbl=c.replace("'", "''"), ref=c.replace("`", "``")
+        )
+        for c in columns
+    )
     melted = df.select(
         F.expr(f"stack({len(columns)}, {stack_expr}) as (col_name, value)")
     )
@@ -431,7 +442,6 @@ def quality_score(
 def quality_report(
     df: DataFrame,
     p: ProfileResult | None = None,
-    key_columns: list[str] | None = None,
     exact: bool = False,
 ) -> dict[str, Any]:
     """Assemble the reference's quality-report dict (data_analyzer.py:55-66)

@@ -104,12 +104,14 @@ class Rule:
     params: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        # rule ids travel through a comma-joined pack in the violation
-        # fan-out (evaluate_row_rules pass 2) — a comma would corrupt
-        # every violation row of the batch, so reject it up front
-        if "," in self.rule_id:
+        # rule ids travel through a comma-joined pack AND are
+        # interpolated into stack() SQL (evaluate_row_rules) — restrict
+        # to a safe identifier charset so neither the separator nor the
+        # SQL string can be corrupted/injected
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", self.rule_id or ""):
             raise ValueError(
-                f"rule_id may not contain ',' (got {self.rule_id!r})"
+                "rule_id must match [A-Za-z0-9_.-]+ "
+                f"(got {self.rule_id!r})"
             )
 
 
@@ -159,6 +161,10 @@ def validate_sql_expr(expr: str, allowed_columns: list[str]) -> None:
         raise ValueError(f"blocked keyword in rule expression: {expr!r}")
     # strip string literals so their contents aren't treated as identifiers
     stripped = re.sub(r"'[^']*'", "''", expr)
+    # strip numeric literals: 1e6 / 0x1F would otherwise surface bogus
+    # "identifiers" e6 / x1F and falsely reject a valid expression
+    stripped = re.sub(r"\b0[xX][0-9a-fA-F]+\b", " 0 ", stripped)
+    stripped = re.sub(r"\b\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\b", " 0 ", stripped)
     cols = {c.lower() for c in allowed_columns}
     # struct field access a.b.c: validate only the head
     for token in _IDENT.findall(re.sub(r"\.\w+", "", stripped)):
@@ -251,17 +257,17 @@ def evaluate_row_rules(
     if not rr:
         raise ValueError("no row-level rules to evaluate")
     preds = [(r.rule_id, compile_rule(r, df)) for r in rr]
-    # pass 1: per-partition counts, single hash aggregate
-    per_part = (
-        df.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("row_count"),
-            *[
-                F.sum(F.coalesce((~p).cast("long"), F.lit(1))).alias(f"viol_{i}")
-                for i, (_rid, p) in enumerate(preds)
-            ],
-        )
+    # pass 1: per-partition counts, single hash aggregate. Group on the
+    # expression directly (no withColumn): a user column named
+    # "partition_id" must not be shadowed while rule predicates evaluate
+    per_part = df.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[
+            F.sum(F.coalesce((~p).cast("long"), F.lit(1))).alias(f"viol_{i}")
+            for i, (_rid, p) in enumerate(preds)
+        ],
     )
     stack_parts = ", ".join(
         f"'{rid}', viol_{i}" for i, (rid, _p) in enumerate(preds)

@@ -196,25 +196,51 @@ def run_validation(
                 )
             )
 
-    if catalog is not None and "spans" in documents.columns:
-        tasks.append(
-            (
-                "referential",
-                lambda: refcheck.referential_check(
-                    documents, catalog, partition_totals=partition_totals
-                ),
-            )
+    # explicit referential rules take precedence over the implicit
+    # catalog-triggered check; requesting one WITHOUT a catalog is an
+    # error, never a silent skip
+    ref_rules = [r for r in rule_set if r.kind == "referential"]
+    if ref_rules and catalog is None:
+        raise ValueError(
+            f"referential rule(s) {[r.rule_id for r in ref_rules]} require "
+            "a catalog DataFrame"
         )
+    if catalog is not None:
+        for rr_rule in ref_rules or (
+            [R.Rule("referential_media_ref", "referential", column="spans")]
+            if "spans" in documents.columns
+            else []
+        ):
+            spans_col = rr_rule.column or "spans"
+            tasks.append(
+                (
+                    f"referential_{rr_rule.rule_id}"
+                    if ref_rules else "referential",
+                    lambda rr_rule=rr_rule, spans_col=spans_col: (
+                        refcheck.referential_check(
+                            documents, catalog, spans_col=spans_col,
+                            rule_id=rr_rule.rule_id,
+                            partition_totals=partition_totals,
+                        )
+                    ),
+                )
+            )
 
     metrics = None
     metrics_future = None
     with ThreadPoolExecutor(max_workers=max(len(tasks) + 1, 1)) as pool:
         if with_profile:
-            # date-format probing is for string business columns, not
-            # ids — skip (8 try_to_timestamp exprs per string col)
-            metrics_future = pool.submit(
-                lambda: _profile(documents, detect_formats=False)
-            )
+            if ckpt and ckpt.is_done("profile"):
+                # resume: read the checkpointed metrics back instead of
+                # re-running the full profile scan
+                metrics_future = None
+                metrics = ckpt.read(spark, "profile", "metrics")
+            else:
+                # date-format probing is for string business columns,
+                # not ids — skip (8 try_to_timestamp exprs/string col)
+                metrics_future = pool.submit(
+                    lambda: _profile(documents, detect_formats=False)
+                )
         phase_futures = [
             (name, pool.submit(run_phase, name, fn)) for name, fn in tasks
         ]
@@ -226,6 +252,17 @@ def run_validation(
                 ckpt.write("profile", "metrics", metrics)
                 ckpt.mark_done("profile")
 
+    if not verdict_dfs:
+        # nothing ran (empty rule set, no uniqueness, no catalog):
+        # return a well-formed empty result rather than crashing
+        from .state import LINEAGE_SCHEMA
+
+        return ValidationResult(
+            spark.createDataFrame([], R.VERDICT_SCHEMA),
+            spark.createDataFrame([], R.VIOLATION_SCHEMA),
+            metrics,
+            spark.createDataFrame([], LINEAGE_SCHEMA),
+        )
     verdicts = verdict_dfs[0]
     for x in verdict_dfs[1:]:
         verdicts = verdicts.unionByName(x)

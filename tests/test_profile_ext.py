@@ -53,3 +53,44 @@ def test_remove_stopwords(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["the cat and THE dog on a mat"]}))
     out = df.select(remove_stopwords("t").alias("r")).collect()[0]["r"]
     assert out == "cat dog mat"
+
+
+def test_categorical_inconsistency_group_cap_deterministic(spark):
+    """max_groups caps GROUPS (largest first, deterministic), never
+    splitting a group from its canonical row."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.profile import categorical_inconsistency
+
+    rows = []
+    for g in range(5):  # group g has 10-2g occurrences -> clear order
+        for i in range(10 - 2 * g):
+            rows.append(f"City{g}" if i % 2 == 0 else f"city{g}")
+    df = spark.createDataFrame(pd.DataFrame({"c": rows}))
+    out = categorical_inconsistency(df, "c", max_groups=2).collect()
+    keys = {r["norm_key"] for r in out}
+    assert keys == {"city0", "city1"}  # the two largest groups
+    for k in keys:  # each kept group complete with exactly one canonical
+        grp = [r for r in out if r["norm_key"] == k]
+        assert len(grp) == 2 and sum(r["is_canonical"] for r in grp) == 1
+
+
+def test_profile_empty_table_no_phantom_nulls(spark):
+    from automatic_data_validator_spark.profile import profile, quality_report
+
+    df = spark.createDataFrame([], "a double, b string")
+    p = profile(df, detect_formats=False)
+    assert all(s["null_count"] == 0 for s in p.suggestions.values())
+    rep = quality_report(df, p=p)
+    assert rep["missing_values"]["missing_percentage"] == 0.0
+    assert rep["quality_score"] == 100.0
+
+
+def test_topk_values_quoted_column_names(spark):
+    import pandas as pd
+
+    from automatic_data_validator_spark.profile import topk_values
+
+    df = spark.createDataFrame(pd.DataFrame({"it's a col": ["x", "x", "y"]}))
+    top = topk_values(df, ["it's a col"], k=1).collect()
+    assert top[0]["col_name"] == "it's a col" and top[0]["value"] == "x"

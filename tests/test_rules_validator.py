@@ -139,3 +139,38 @@ def test_expr_validator_fuzz_unknown_identifiers():
                 validate_sql_expr(f"{name} = 1", ["doc_id", "n_chars"])
 
     check()
+
+
+def test_numeric_literals_allowed_in_exprs():
+    from automatic_data_validator_spark.rules import validate_sql_expr
+
+    validate_sql_expr("score < 1e6 and score > -2.5E-3", ["score"])
+    validate_sql_expr("flags = 0x1F", ["flags"])
+
+
+def test_rule_id_charset_restricted():
+    import pytest as _pytest
+
+    from automatic_data_validator_spark.rules import Rule
+
+    for bad in ("a,b", "isn't", "a b", "x`y", ""):
+        with _pytest.raises(ValueError):
+            Rule(bad, "not_null", column="c")
+    Rule("ok-rule_1.2", "not_null", column="c")  # fine
+
+
+def test_user_partition_id_column_not_shadowed(spark):
+    """A data column named partition_id must be evaluated as DATA in
+    both the verdict and the violation pass."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.rules import Rule, evaluate_row_rules
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "c"], "partition_id": [5, 500, 7]})
+    )
+    from pyspark.sql import functions as F
+
+    v, x = evaluate_row_rules(df, [Rule("pp", "expr", expr="partition_id < 100")])
+    assert v.agg(F.sum("violation_count")).collect()[0][0] == 1
+    assert [r["doc_id"] for r in x.collect()] == ["b"]

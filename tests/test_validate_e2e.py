@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from automatic_data_validator_spark import rules as R
 from automatic_data_validator_spark.validate import run_validation, canonical_violations
@@ -146,3 +147,38 @@ def test_spark_submit_job_entrypoint(spark, tmp_path):
     assert rc == 1  # violations injected by synth => FAILED is correct
     for name in ("verdicts", "violations", "metrics", "lineage"):
         assert spark.read.parquet(f"{base}/out/{name}").count() > 0
+
+
+def test_referential_rule_honored_and_loud_without_catalog(spark, docs, catalog):
+    from automatic_data_validator_spark import rules as R
+
+    with pytest.raises(ValueError, match="catalog"):
+        run_validation(
+            spark, docs, catalog=None, with_profile=False, check_uniqueness=False,
+            rule_set=[R.Rule("my_refs", "referential", column="spans")],
+        )
+    res = run_validation(
+        spark, docs, catalog=catalog, with_profile=False, check_uniqueness=False,
+        rule_set=[
+            R.Rule("nn", "not_null", column="doc_id"),
+            R.Rule("my_refs", "referential", column="spans"),
+        ],
+    )
+    rules_seen = {r["rule_id"] for r in res.verdicts.select("rule_id").distinct().collect()}
+    assert "my_refs" in rules_seen
+    assert res.violations.filter(F.col("rule_id") == "my_refs").count() > 0
+
+
+def test_empty_rule_set_returns_empty_result(spark, docs):
+    res = run_validation(spark, docs, rule_set=[], check_uniqueness=False,
+                         with_profile=False)
+    assert res.verdicts.count() == 0 and res.violations.count() == 0
+    assert res.passed()
+
+
+def test_profile_phase_resumes_from_checkpoint(spark, docs, tmp_path):
+    ck = str(tmp_path / "ckprof")
+    r1 = run_validation(spark, docs, checkpoint_dir=ck, with_profile=True)
+    m1 = sorted(map(tuple, r1.metrics.collect()))
+    r2 = run_validation(spark, docs, checkpoint_dir=ck, with_profile=True)
+    assert sorted(map(tuple, r2.metrics.collect())) == m1
