@@ -136,7 +136,13 @@ def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
     # 2. drop high-null columns
     for c in plan.dropped_columns:
         out = out.drop(c)
-    # 3. impute
+    # 3. impute. Pandas fillna UPCASTS an int column to float when the
+    # fill value is fractional (the reference fills 2.5, not 2) — a
+    # plain Spark fillna would silently truncate to the column type, so
+    # integer columns receiving a fractional value are cast to double
+    # first, keeping the applied value identical to plan.imputations.
+    _int_types = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(out.dtypes)
     numeric_imp = {
         c: v
         for c, v in plan.imputations.items()
@@ -147,17 +153,29 @@ def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
         for c, v in plan.imputations.items()
         if c not in plan.dropped_columns and isinstance(v, str)
     }
+    for c, v in numeric_imp.items():
+        if dtypes.get(c) in _int_types and float(v) != float(int(v)):
+            out = out.withColumn(c, F.col(c).cast("double"))
+            dtypes[c] = "double"
     if numeric_imp:
         out = out.fillna(numeric_imp)
     if string_imp:
         out = out.fillna(string_imp)
-    # 4. cap outliers: clip == least(greatest(x, lo), hi)
+    # 4. cap outliers: clip == least(greatest(x, lo), hi). Same upcast
+    # rule: fractional IQR bounds on an int column keep the double
+    # (pandas clip with float bounds yields float), otherwise the
+    # original dtype is restored.
     for c, (lo, hi) in plan.caps.items():
         if c in plan.dropped_columns or c not in out.columns:
             continue
-        dt = dict(out.dtypes)[c]
+        dt = dtypes.get(c, dict(out.dtypes)[c])
         clipped = F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
-        out = out.withColumn(c, clipped.cast(dt))
+        fractional_bounds = (lo != int(lo)) or (hi != int(hi))
+        if dt in _int_types and fractional_bounds:
+            out = out.withColumn(c, clipped)
+            dtypes[c] = "double"
+        else:
+            out = out.withColumn(c, clipped.cast(dt))
     # 5. standardize text: strip + title-case
     for c in plan.standardize_columns:
         if c in out.columns:

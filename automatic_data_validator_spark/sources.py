@@ -30,18 +30,39 @@ from pyspark.sql import types as T
 CSV_ENCODINGS = ["UTF-8", "ISO-8859-1", "windows-1252"]
 
 
-def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+def read_csv(spark: SparkSession, path: str, sample_rows: int = 1000, **options) -> DataFrame:
+    """CSV read with a WORKING encoding fallback chain.
+
+    Spark's CSV reader never raises on invalid bytes — it substitutes
+    U+FFFD — so unlike the reference's UnicodeDecodeError-driven loop
+    (file_handler.py:72-92) the fallback must probe: after defining the
+    read, a `sample_rows` scan checks string columns for the
+    replacement character and advances to the next encoding when any
+    appears. The probe is one tiny job per attempted encoding."""
     last_err: Exception | None = None
+    infer = options.pop("inferSchema", True)
     for enc in CSV_ENCODINGS:
         try:
             df = (
                 spark.read.option("header", True)
                 .option("encoding", enc)
-                .option("inferSchema", options.pop("inferSchema", True))
+                .option("inferSchema", infer)
                 .options(**options)
                 .csv(path)
             )
-            df.schema  # force plan resolution to surface codec errors early
+            str_cols = [f.name for f in df.schema.fields
+                        if isinstance(f.dataType, T.StringType)]
+            if str_cols and enc != CSV_ENCODINGS[-1]:
+                bad = F.lit(False)
+                for c in str_cols:
+                    bad = bad | F.col(c).contains("�")
+                n_bad = (
+                    df.limit(sample_rows)
+                    .agg(F.sum(F.coalesce(bad.cast("long"), F.lit(0))))
+                    .collect()[0][0]
+                )
+                if n_bad and n_bad > 0:
+                    continue  # mis-decoded: try the next encoding
             return df
         except Exception as e:  # pragma: no cover - rare encodings path
             last_err = e
@@ -101,10 +122,19 @@ def write_excel_report(frames: "dict[str, DataFrame]", path: str,
         ) from e
     import pandas as pd
 
+    seen: dict[str, int] = {}
     with pd.ExcelWriter(path, engine="openpyxl") as xw:
         for name, df in frames.items():
+            sheet = name[:31]
+            # Excel's 31-char limit can collide distinct frame names;
+            # suffix deterministically instead of letting openpyxl rename
+            if sheet in seen:
+                seen[sheet] += 1
+                sheet = f"{sheet[:28]}~{seen[sheet]:02d}"
+            else:
+                seen[sheet] = 0
             pdf = df.limit(max_rows_per_sheet).toPandas()
-            pdf.to_excel(xw, sheet_name=name[:31], index=False)
+            pdf.to_excel(xw, sheet_name=sheet, index=False)
 
 
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:

@@ -22,11 +22,26 @@ from .synth import SPAN_SCHEMA
 def span_fingerprint(spans_col: str = "spans") -> Column:
     """Order-sensitive per-doc fingerprint over the span invariant
     tuple (kind, text, media_ref, order). Two docs fingerprint equal
-    iff their span sequences are equal (modulo 64-bit collisions)."""
+    iff their span sequences are equal (modulo 64-bit collisions).
+
+    A null-pattern mask is hashed alongside the fields: Spark's
+    xxhash64 SKIPS null arguments, so without it
+    (text='x', media_ref=null) and (text=null, media_ref='x') — a
+    structural, not random, collision class — would hash identically."""
     c = F.col(spans_col)
-    per_span = F.transform(
-        c, lambda s: F.xxhash64(s["kind"], s["text"], s["media_ref"], s["offset"])
-    )
+
+    def span_hash(s):
+        null_mask = (
+            s["kind"].isNull().cast("int")
+            + s["text"].isNull().cast("int") * 2
+            + s["media_ref"].isNull().cast("int") * 4
+            + s["offset"].isNull().cast("int") * 8
+        )
+        return F.xxhash64(
+            s["kind"], s["text"], s["media_ref"], s["offset"], null_mask
+        )
+
+    per_span = F.transform(c, span_hash)
     return F.xxhash64(F.array_join(F.transform(per_span, lambda h: h.cast("string")), ","))
 
 

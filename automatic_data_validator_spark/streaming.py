@@ -41,12 +41,18 @@ def validate_stream(
         if batch_df.isEmpty():
             return
         verdicts, violations = R.evaluate_row_rules(batch_df, row_rules, key_column)
-        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{output_dir}/verdicts"
-        )
-        violations.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{output_dir}/violations"
-        )
+        # idempotent replay: partition by batch_id + dynamic partition
+        # overwrite, so a micro-batch replayed after a crash rewrites
+        # ITS partition instead of appending duplicate rows (foreachBatch
+        # requires idempotent sinks for exactly-once)
+        for df, name in ((verdicts, "verdicts"), (violations, "violations")):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{output_dir}/{name}")
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -102,16 +108,16 @@ def windowed_quality(
 ) -> DataFrame:
     """Watermarked per-window text-quality aggregation (late data
     handled by the watermark): returns a streaming DataFrame of
-    (window, n_docs, avg_words, n_empty)."""
-    words = F.when(F.trim(text_col) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text_col), r"\s+"))
-    )
+    (window, n_docs, avg_words, n_empty). n_empty counts
+    whitespace-only docs too, consistent with word_count's trim."""
+    from .textops import word_count
+
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("window"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg(words).alias("avg_words"),
-            F.sum((F.col(text_col) == "").cast("long")).alias("n_empty"),
+            F.avg(word_count(text_col)).alias("avg_words"),
+            F.sum((F.trim(F.col(text_col)) == "").cast("long")).alias("n_empty"),
         )
     )

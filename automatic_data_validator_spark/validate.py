@@ -71,6 +71,15 @@ def run_validation(
         from .state import snapshot_of
 
         snapshot_id = snapshot_of(documents)
+        if snapshot_id == "snap-inline" and checkpoint_dir:
+            # file-less input (in-memory relation): every dataset would
+            # hash to the same constant, so a stale checkpoint could be
+            # silently reused for DIFFERENT data — refuse instead
+            raise ValueError(
+                "snapshot_id='auto' cannot fingerprint a file-less input; "
+                "pass an explicit snapshot_id when checkpointing in-memory "
+                "DataFrames"
+            )
     ckpt = (
         Checkpointer(checkpoint_dir, snapshot_id, rule_version)
         if checkpoint_dir

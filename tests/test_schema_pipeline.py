@@ -154,3 +154,22 @@ def test_emitted_pipeline_actually_runs(spark, tmp_path):
         assert got.count() >= 0
     cleaned = spark.read.parquet(f"{out}/cleaned").collect()
     assert all(r["n_chars"] is not None for r in cleaned)  # fillna applied
+
+
+def test_fractional_imputation_upcasts_int_columns(spark):
+    """Pandas fillna upcasts int->float for fractional fills; the plan's
+    recorded value must equal the applied value (no silent truncation),
+    and fractional IQR caps keep the double like pandas clip."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "c"], "v": pd.array([1, None, 100], dtype="Int64")})
+    )
+    plan = CorrectionPlan(dedup_keys=["doc_id"], imputations={"v": 2.5},
+                          caps={"v": (0.5, 50.5)})
+    out = {r["doc_id"]: r["v"] for r in apply_plan(df, plan).collect()}
+    assert out["b"] == 2.5            # not truncated to 2
+    assert out["c"] == 50.5           # fractional cap applied exactly
+    assert out["a"] == 1.0

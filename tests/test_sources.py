@@ -91,13 +91,13 @@ def test_csv_encoding_fallback_reads_latin1(spark, tmp_path):
 
     p = tmp_path / "latin1.csv"
     p.write_bytes("name,city\nJos\xe9,S\xe3o Paulo\nRen\xe9e,Z\xfcrich\n".encode("latin-1"))
+    # the fallback probes for U+FFFD (Spark substitutes instead of
+    # raising) and must land on the correctly-decoded encoding
     df = read_csv(spark, str(p))
-    rows = {r["name"]: r["city"] for r in df.collect()}
-    # NOTE: Spark's UTF-8 reader substitutes invalid bytes rather than
-    # erroring, so the chain's utf-8 step may "succeed" with U+FFFD;
-    # assert we at least got both rows and no crash, and that a
-    # correctly-decoded variant exists under an explicit encoding
-    assert len(rows) == 2
-    explicit = read_csv(spark, str(p), encoding="ISO-8859-1")
-    got = {r["name"]: r["city"] for r in explicit.collect()}
+    got = {r["name"]: r["city"] for r in df.collect()}
     assert got == {"José": "São Paulo", "Renée": "Zürich"}
+    # clean UTF-8 stays on the first encoding with correct content
+    q = tmp_path / "utf8.csv"
+    q.write_bytes("name,city\nJosé,São Paulo\n".encode("utf-8"))
+    got2 = {r["name"]: r["city"] for r in read_csv(spark, str(q)).collect()}
+    assert got2 == {"José": "São Paulo"}

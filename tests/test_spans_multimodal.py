@@ -131,3 +131,16 @@ def test_normalize_preserves_null_span_elements(spark):
     assert out[0]["text"] == "a b"
     assert out[1] is None
     assert out[2]["media_ref"] == "m-9"
+
+
+def test_span_fingerprint_distinguishes_null_field_patterns(spark):
+    """xxhash64 skips null args; the null-pattern mask must keep
+    (text='x', media_ref=null) distinct from (text=null, media_ref='x')."""
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    a = spark.createDataFrame(
+        [("d", [{"kind": "k", "text": "x", "media_ref": None, "offset": 0}])], schema)
+    b = spark.createDataFrame(
+        [("d", [{"kind": "k", "text": None, "media_ref": "x", "offset": 0}])], schema)
+    fa = a.select(SP.span_fingerprint().alias("f")).collect()[0]["f"]
+    fb = b.select(SP.span_fingerprint().alias("f")).collect()[0]["f"]
+    assert fa != fb
