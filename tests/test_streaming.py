@@ -111,3 +111,27 @@ def test_stateful_uniqueness_across_batches(spark, tmp_path):
     assert ("d2", 2) in rows          # in-batch duplicate
     assert ("d1", 2) in rows          # cross-batch duplicate (needs state)
     assert not any(d == "d9" for d, _n in rows)
+
+
+def test_validate_stream_sink_idempotent_on_replay(spark, tmp_path):
+    """Re-processing the same micro-batch (fresh stream checkpoint,
+    same output dir — the crash-replay shape) must not duplicate
+    verdict/violation rows: each batch overwrites its own partition."""
+    src = str(tmp_path / "src_r")
+    out = str(tmp_path / "out_r")
+    spark.createDataFrame(
+        [("d1", 10), ("d2", -5)], "doc_id string, n_chars int"
+    ).coalesce(1).write.parquet(src)
+    rules = [R.Rule("positive_chars", "expr", expr="n_chars > 0")]
+    for attempt in range(2):  # second run replays batch 0 into the same sink
+        stream = spark.readStream.schema("doc_id string, n_chars int").parquet(src)
+        q = validate_stream(stream, rules, out, str(tmp_path / f"ck_r{attempt}"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    viol = spark.read.parquet(out + "/violations")
+    assert viol.count() == 1  # not 2: replay overwrote, not appended
+    verd = spark.read.parquet(out + "/verdicts")
+    assert verd.filter("rule_id = 'positive_chars'").count() == \
+        verd.select("partition_id").distinct().count()
