@@ -108,6 +108,13 @@ def extract_features(
         for b in batches:
             feats, ok = [], []
             for payload in b["payload"]:
+                if payload is None:
+                    # missing media is a decode FAILURE (consistent with
+                    # resize_images), not a zero-vector "success" whose
+                    # zero norm would NaN any cosine consumer
+                    feats.append(None)
+                    ok.append(False)
+                    continue
                 try:
                     vec = decoder(payload)
                     feats.append([float(x) for x in vec[:out_dim]])

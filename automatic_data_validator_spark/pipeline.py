@@ -32,8 +32,8 @@ from automatic_data_validator_spark import rules as R
 from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
 from automatic_data_validator_spark.validate import run_validation
 
-RULESET = json.loads(r\'\'\'{ruleset_json}\'\'\')
-PLAN = json.loads(r\'\'\'{plan_json}\'\'\')
+RULESET = json.loads({ruleset_literal})
+PLAN = json.loads({plan_literal})
 
 
 def main() -> None:
@@ -50,8 +50,8 @@ def main() -> None:
         res.metrics.write.mode("overwrite").parquet(out + "/metrics")
     res.lineage.write.mode("overwrite").parquet(out + "/lineage")
     if PLAN is not None:
-        plan = CorrectionPlan(**{{k: (tuple(v) if isinstance(v, list) and k == "caps"
-                                 else v) for k, v in PLAN.items()}})
+        PLAN["caps"] = {{k: tuple(v) for k, v in (PLAN.get("caps") or {{}}).items()}}
+        plan = CorrectionPlan(**PLAN)
         cleaned = apply_plan(df, plan)
         cleaned.write.mode("overwrite").parquet(out + "/cleaned")
     spark.stop()
@@ -85,10 +85,12 @@ def emit_pipeline(
 
     ruleset_json = serialize_rules(rules)
     rule_version = "rv-" + hashlib.md5(ruleset_json.encode()).hexdigest()[:12]
+    # JSON embedded via repr(): a raw triple-quoted literal would break
+    # on any rule string containing ''' (e.g. SQL-escaped quotes)
     return RUNNER_TEMPLATE.format(
         script_name=script_name,
-        ruleset_json=ruleset_json,
-        plan_json=serialize_plan(plan),
+        ruleset_literal=repr(ruleset_json),
+        plan_literal=repr(serialize_plan(plan)),
         rule_version=rule_version,
     )
 

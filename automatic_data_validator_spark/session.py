@@ -2,8 +2,12 @@
 cluster-correct defaults: AQE on, Arrow on, shuffle partitions sized to
 parallelism (not the 200 default), UTC timestamps.
 
-On a real cluster the same builder works — only master/memory change via
-spark-submit conf; nothing in the engine assumes local mode.
+This is the LOCAL harness helper (tests/bench): it pins
+master=local[N] unless a master is already configured (spark-submit
+sets spark.master, which must win — a hardcoded local master would
+silently run a cluster job driver-only). Cluster entry points
+(jobs/validate_job.py, the emitted pipeline runner) use the plain
+builder and inherit everything from spark-submit.
 """
 
 from __future__ import annotations
@@ -29,9 +33,15 @@ def get_spark(
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(parallelism, 32)
+    builder = SparkSession.builder
+    # respect an externally-provided master (spark-submit --master):
+    # PYSPARK_SUBMIT_ARGS / spark.master env presence means we are
+    # inside a managed submission and must not override it
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--master" not in submit_args and "spark.master" not in submit_args:
+        builder = builder.master(f"local[{parallelism}]")
     builder = (
-        SparkSession.builder.master(f"local[{parallelism}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -137,11 +137,46 @@ def write_excel_report(frames: "dict[str, DataFrame]", path: str,
             pdf.to_excel(xw, sheet_name=sheet, index=False)
 
 
+def is_path_like(name_or_path: str) -> bool:
+    """True for filesystem/URI inputs (s3://…, hdfs://…, /dir, rel/dir),
+    False for catalog table identifiers (db.table). os.path.exists is
+    only a driver-local check and must not be the sole classifier —
+    remote URIs don't exist locally but are still paths."""
+    return (
+        "://" in name_or_path
+        or "/" in name_or_path
+        or os.sep in name_or_path
+        or os.path.exists(name_or_path)
+    )
+
+
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
-    """Iceberg table when a catalog resolves the name; else parquet."""
-    if os.path.exists(name_or_path):
+    """Catalog table (Iceberg etc.) for identifiers; parquet for paths
+    and URIs (local or remote)."""
+    if is_path_like(name_or_path):
         return spark.read.parquet(name_or_path)
     return spark.read.table(name_or_path)
+
+
+def write_outputs_parallel(frames: "dict[str, DataFrame]", base_dir: str,
+                           mode: str = "overwrite") -> None:
+    """Write several independent DataFrames as parquet under
+    base_dir/<name> with CONCURRENT job submission — sequential writes
+    leave executor slots idle during each job's small final stages.
+    Shared by bench.py and jobs/validate_job.py."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(len(frames), 1)) as pool:
+        futs = [
+            pool.submit(
+                lambda df=df, name=name: df.write.mode(mode).parquet(
+                    f"{base_dir}/{name}"
+                )
+            )
+            for name, df in frames.items()
+        ]
+        for f in futs:
+            f.result()
 
 
 def write_output(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:

@@ -53,11 +53,14 @@ def main() -> None:
         "q31_ann_cosine_topk",   # brute-force ANN
     ]
     qs = entrymod.queries()
-    # untimed warm-up at the smallest SF: codegen + JIT out of the
-    # timed region (steady-state measurement)
+    # untimed warm-up at the smallest available sibling SF (falls back
+    # to sf_dir itself — a hardcoded path would silently skip warm-up
+    # for any other data root and the timed runs would measure cold JIT)
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = small if os.path.isdir(small) else sf_dir
     for name in headline:
         try:
-            qs[name](spark, "/root/testdata/sf0.001").count()
+            qs[name](spark, warm_dir).count()
         except Exception as e:  # pragma: no cover
             log(f"warmup {name} failed: {e}")
     for name in headline:
@@ -103,9 +106,16 @@ def main() -> None:
     from automatic_data_validator_spark.dedup import minhash_signature
 
     txt = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_n = txt.count()
     big = txt
-    while big.count() < 160_000:
-        big = big.unionByName(big)
+    if base_n > 0:
+        # arithmetic doubling count — no count() inside the loop (each
+        # one would rescan the growing union), no hang on empty input
+        import math
+
+        for _ in range(max(0, math.ceil(math.log2(160_000 / base_n)))
+                       if base_n < 160_000 else 0):
+            big = big.unionByName(big)
     big = big.cache()
     n_txt = big.count()
     probe = _F.sum(_F.pmod(_F.element_at(minhash_signature("text"), 1), _F.lit(997)))
@@ -131,27 +141,16 @@ def main() -> None:
     warm.violations.write.mode("overwrite").parquet(f"{work}/out_warm/violations")
     warm.verdicts.write.mode("overwrite").parquet(f"{work}/out_warm/verdicts")
     warm.metrics.write.mode("overwrite").parquet(f"{work}/out_warm/metrics")
+    from automatic_data_validator_spark.sources import write_outputs_parallel
+
     t0 = time.perf_counter()
     res = run_validation(spark, docs, catalog=catalog, with_profile=True)
-    # production sink: write all outputs (each violation plan runs
-    # once); independent jobs -> submit concurrently to keep slots full
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
-            pool.submit(
-                lambda df=df, name=name: df.write.mode("overwrite").parquet(
-                    f"{work}/out/{name}"
-                )
-            )
-            for df, name in [
-                (res.violations, "violations"),
-                (res.verdicts, "verdicts"),
-                (res.metrics, "metrics"),
-            ]
-        ]
-        for f in futs:
-            f.result()
+    # production sink: write all outputs (each violation plan runs once)
+    write_outputs_parallel(
+        {"violations": res.violations, "verdicts": res.verdicts,
+         "metrics": res.metrics},
+        f"{work}/out",
+    )
     dt = time.perf_counter() - t0
     n_viol = spark.read.parquet(f"{work}/out/violations").count()
     timings["validate_e2e"] = round(dt, 3)

@@ -80,9 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     docs = read_table(spark, args.documents)
     catalog = read_table(spark, args.catalog) if args.catalog else None
     snapshot_id = args.snapshot_id
-    if snapshot_id == "auto" and not os.path.exists(args.documents):
-        # table name, not a path: prefer the true Iceberg snapshot id;
-        # run_validation's "auto" (input-file hash) is the fallback
+    from automatic_data_validator_spark.sources import is_path_like
+
+    if snapshot_id == "auto" and not is_path_like(args.documents):
+        # table name, not a path/URI: prefer the true Iceberg snapshot
+        # id; run_validation's "auto" (input-file hash) is the fallback
         from automatic_data_validator_spark.state import iceberg_snapshot_id
 
         snapshot_id = iceberg_snapshot_id(spark, args.documents) or "auto"
@@ -96,20 +98,13 @@ def main(argv: list[str] | None = None) -> int:
         with_profile=not args.no_profile,
     )
 
-    from concurrent.futures import ThreadPoolExecutor
+    from automatic_data_validator_spark.sources import write_outputs_parallel
 
-    outputs = [(res.verdicts, "verdicts"), (res.violations, "violations"),
-               (res.lineage, "lineage")]
+    outputs = {"verdicts": res.verdicts, "violations": res.violations,
+               "lineage": res.lineage}
     if res.metrics is not None:
-        outputs.append((res.metrics, "metrics"))
-    with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
-        futs = [
-            pool.submit(lambda df=df, name=name: df.write.mode("overwrite")
-                        .parquet(f"{args.output}/{name}"))
-            for df, name in outputs
-        ]
-        for f in futs:
-            f.result()
+        outputs["metrics"] = res.metrics
+    write_outputs_parallel(outputs, args.output)
 
     ok = res.passed()
     print(f"validation {'PASSED' if ok else 'FAILED'}; outputs at {args.output}")

@@ -173,3 +173,15 @@ def test_fractional_imputation_upcasts_int_columns(spark):
     assert out["b"] == 2.5            # not truncated to 2
     assert out["c"] == 50.5           # fractional cap applied exactly
     assert out["a"] == 1.0
+
+
+def test_emitted_pipeline_survives_quote_heavy_rules(spark):
+    """Rule strings containing ''' (SQL-escaped quotes) must not break
+    the emitted script's embedded JSON literal."""
+    from automatic_data_validator_spark.rules import Rule
+
+    script = emit_pipeline(
+        [Rule("q", "expr", expr="trim(doc_id) != '''' and length(doc_id) > 0")]
+    )
+    compile(script, "advs_pipeline.py", "exec")
+    assert "json.loads('" in script or 'json.loads("' in script

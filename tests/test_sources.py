@@ -101,3 +101,14 @@ def test_csv_encoding_fallback_reads_latin1(spark, tmp_path):
     q.write_bytes("name,city\nJosé,São Paulo\n".encode("utf-8"))
     got2 = {r["name"]: r["city"] for r in read_csv(spark, str(q)).collect()}
     assert got2 == {"José": "São Paulo"}
+
+
+def test_is_path_like_classification():
+    from automatic_data_validator_spark.sources import is_path_like
+
+    assert is_path_like("s3://bucket/warehouse/db/documents")
+    assert is_path_like("hdfs://nn/data/docs")
+    assert is_path_like("/root/testdata/sf0.001/documents.parquet")
+    assert is_path_like("relative/dir")
+    assert not is_path_like("warehouse.db.documents")
+    assert not is_path_like("documents")
