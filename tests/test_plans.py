@@ -26,20 +26,25 @@ def test_scan_pushdown_reaches_parquet(spark):
     assert "l_extendedprice" in read_schema and "l_quantity" not in read_schema
 
 
-def test_uniqueness_join_strategy_by_dup_set_size(spark, docs):
-    # cached violations from OTHER tests would be plan-matched here
-    # (cache lookup ignores join hints), so start from a clean cache;
-    # DataFrames with a set storage level re-cache on next action
-    spark.catalog.clearCache()
-    _, viol_b = D.uniqueness_check(docs, "doc_id")
-    p = _final_plan(viol_b)
-    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
-    # unpersist first: Spark's cache lookup canonicalizes away join
-    # hints, so the fallback variant would silently reuse this cache
-    viol_b.unpersist()
-    _, viol_s = D.uniqueness_check(docs, "doc_id", broadcast_limit=0)
-    p2 = _final_plan(viol_s)
-    assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+def test_uniqueness_violations_single_scan(spark, tmp_path):
+    """The uniqueness check reads the fact table EXACTLY ONCE: phase 1
+    aggregates by (key, partition_id) — the physical partition doubles
+    as skew salt and attribution — and phase 2 is a window over the
+    aggregated rows, so the former second attribution scan is gone
+    (round-2 directive #1/#6)."""
+    from automatic_data_validator_spark.synth import make_documents
+
+    path = str(tmp_path / "uniq_docs")
+    make_documents(spark, 5_000, n_media=200, seed=7).write.parquet(path)
+    docs = spark.read.parquet(path)
+    _, viol = D.uniqueness_check(docs, "doc_id")
+    viol.unpersist()  # drop the cache wrapper so the raw plan shows
+    p = _final_plan(viol).split("== Initial Plan ==")[0]
+    assert p.count("FileScan parquet") == 1
+    # no join anywhere: attribution comes from the aggregate itself
+    assert "Join" not in p
+    # both exchanges present: (doc_id, partition_id) then doc_id only
+    assert "hashpartitioning(doc_id" in p and "partition_id" in p
 
 
 def test_two_phase_salted_aggregation_shape(spark, docs):
