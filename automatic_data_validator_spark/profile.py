@@ -203,6 +203,329 @@ def profile(
     return result
 
 
+# --- partial (per-group) profile: fused into the row-rules scan -----------
+#
+# At 100 TB the separate profile pass is a full extra read of the input.
+# Everything the profiler computes EXCEPT quantiles is algebraic — it
+# merges from per-partition partials — so the partials ride along in the
+# row-rules per-partition aggregate (rules.per_partition_rule_aggregate)
+# and the global statistics are reconstructed from the tiny
+# (one-row-per-partition) frame with two follow-up aggregations that
+# never touch the input again (round-2 VERDICT directive #1):
+#   counts/sums/min/max      exact merges
+#   mean/std/skew/kurt       per-partition central-moment sums shifted
+#                            to the global mean (Pébay 2008, "Formulas
+#                            for robust one-pass parallel computation of
+#                            covariances and arbitrary-order statistical
+#                            moments", SAND2008-6212 — the same algebra
+#                            behind Chan et al.'s pairwise update)
+#   distinct_count           DataSketches HLL partials (hll_sketch_agg
+#                            per partition, hll_union_agg to merge) —
+#                            estimates differ from approx_count_distinct
+#                            by a few % (different sketch), both are
+#                            approximations by contract
+#   q1/median/q3             NOT partial-izable with public aggregates;
+#                            profile_quantiles() covers numeric columns
+#                            in one column-pruned extra pass (zero extra
+#                            passes for tables without numeric columns,
+#                            e.g. the flagship documents shape)
+
+
+@dataclass
+class PartialProfilePlan:
+    """Stage-A aggregate expressions + the merge spec for stage B."""
+
+    exprs: list[Any] = field(default_factory=list)
+    # (alias, column, kind, final_metric); kind drives the merge
+    specs: list[tuple[str, str, str, str]] = field(default_factory=list)
+    nn_alias: dict[str, str] = field(default_factory=dict)
+    mom_aliases: dict[str, dict[str, str]] = field(default_factory=dict)
+    quantile_cols: list[str] = field(default_factory=list)
+    column_types: dict[str, str] = field(default_factory=dict)
+
+
+def build_partial_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    detect_formats: bool = False,
+    distinct_nested: bool = False,
+) -> PartialProfilePlan:
+    """Build per-group partial expressions mirroring build_profile_exprs
+    metric for metric (same names, same reference semantics)."""
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    plan = PartialProfilePlan(
+        column_types={f.name: f.dataType.simpleString() for f in df.schema.fields}
+    )
+
+    def add(expr, col: str, kind: str, metric: str) -> str:
+        alias = f"pp{len(plan.exprs)}"
+        plan.exprs.append(expr.alias(alias))
+        plan.specs.append((alias, col, kind, metric))
+        return alias
+
+    add(F.count(F.lit(1)), "", "sum", "row_count")
+    for c in cols:
+        dt = schema[c]
+        col = F.col(c)
+        nn = add(F.count(col), c, "sum", "non_null_count")
+        plan.nn_alias[c] = nn
+        # null-masked hash: xxhash64(NULL) is a CONSTANT (the seed), not
+        # NULL — unmasked it would count nulls as one distinct value
+        hashed = F.when(col.isNotNull(), F.xxhash64(col))
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            if distinct_nested:
+                add(F.hll_sketch_agg(hashed), c, "hll", "distinct_count")
+        elif isinstance(dt, (T.StringType, T.IntegerType, T.LongType, T.BinaryType)):
+            add(F.hll_sketch_agg(col), c, "hll", "distinct_count")
+        else:
+            # hll_sketch_agg only accepts int/bigint/string/binary —
+            # hash other primitives to a long first (xxhash64 collisions
+            # are negligible next to the sketch's own error)
+            add(F.hll_sketch_agg(hashed), c, "hll", "distinct_count")
+        if _is_numeric(dt):
+            d = col.cast("double")
+            n = F.count(d)
+            m2 = F.var_pop(d) * n  # central moment sum Σ(x-mean)²
+            # Spark skewness = sqrt(n)·M3/M2^1.5 (null n==0, NaN M2==0)
+            # and kurtosis = n·M4/M2² - 3 — invert to recover the raw
+            # central-moment sums; nanvl folds the all-equal case to 0
+            m3 = F.nanvl(F.skewness(d), F.lit(0.0)) * F.sqrt(
+                F.pow(m2, F.lit(3.0)) / n
+            )
+            m4 = (F.nanvl(F.kurtosis(d), F.lit(-3.0)) + F.lit(3.0)) * F.pow(
+                m2, F.lit(2.0)
+            ) / n
+            plan.mom_aliases[c] = {
+                "mean": add(F.coalesce(F.avg(d), F.lit(0.0)), c, "moment", "mean"),
+                "m2": add(F.coalesce(m2, F.lit(0.0)), c, "moment", "std"),
+                "m3": add(F.coalesce(m3, F.lit(0.0)), c, "moment", "skewness"),
+                "m4": add(F.coalesce(m4, F.lit(0.0)), c, "moment", "kurtosis"),
+            }
+            add(F.min(d), c, "min", "min")
+            add(F.max(d), c, "max", "max")
+            add(_cnt(d == 0.0), c, "sum", "zero_count")
+            add(_cnt(d < 0.0), c, "sum", "negative_count")
+            add(_cnt(d == F.floor(d).cast("double")), c, "sum", "integer_like_count")
+            plan.quantile_cols.append(c)
+        elif isinstance(dt, T.StringType):
+            ln = F.length(col)
+            add(F.min(ln), c, "min", "len_min")
+            add(F.max(ln), c, "max", "len_max")
+            add(F.sum(ln.cast("long")), c, "sum_div_nn", "len_mean")
+            add(_cnt(col == ""), c, "sum", "empty_count")
+            add(_cnt(col.rlike(r"\d")), c, "sum", "has_digit_count")
+            add(
+                _cnt(F.length(F.translate(col, _ALNUM_WS, "")) > 0),
+                c, "sum", "has_special_count",
+            )
+            add(_cnt((F.upper(col) == col) & col.rlike("[A-Za-z]")), c, "sum", "all_upper_count")
+            add(_cnt((F.lower(col) == col) & col.rlike("[A-Za-z]")), c, "sum", "all_lower_count")
+            add(_cnt(col.rlike(r"^[0-9]+$")), c, "sum", "digit_only_count")
+            add(
+                _cnt(col.isNotNull() & col.try_cast("double").isNotNull()),
+                c, "sum", "numeric_conv_count",
+            )
+            add(
+                _cnt(col.isNotNull() & F.try_to_timestamp(col).isNotNull()),
+                c, "sum", "datetime_conv_count",
+            )
+            if detect_formats:
+                for fmt in config.DATE_FORMATS:
+                    add(
+                        _cnt(col.isNotNull() & F.try_to_timestamp(col, F.lit(fmt)).isNotNull()),
+                        c, "sum", f"datefmt_count:{fmt}",
+                    )
+        elif isinstance(dt, T.BooleanType):
+            add(_cnt(col), c, "sum", "true_count")
+        elif isinstance(dt, _TEMPORAL):
+            d = col.cast("timestamp").cast("double")
+            add(F.min(d), c, "min", "min_epoch")
+            add(F.max(d), c, "max", "max_epoch")
+        elif isinstance(dt, T.ArrayType):
+            sz = F.size(col)
+            add(F.min(sz), c, "min", "arr_len_min")
+            add(F.max(sz), c, "max", "arr_len_max")
+            add(F.sum(sz.cast("long")), c, "sum_div_nn", "arr_len_mean")
+            add(F.sum(sz.cast("long")), c, "sum", "arr_total_elems")
+    return plan
+
+
+def finalize_partial_profile(
+    partial_df: DataFrame, plan: PartialProfilePlan
+) -> ProfileResult:
+    """Global statistics from the per-partition partial frame — two tiny
+    aggregations over ``partial_df`` (one row per input partition; the
+    input table itself is never read). Quantile metrics are absent; the
+    caller merges profile_quantiles() when it needs them."""
+    merge1: list[Any] = []
+    for alias, c, kind, _metric in plan.specs:
+        col = F.col(alias)
+        if kind in ("sum", "sum_div_nn"):
+            merge1.append(F.sum(col).alias(alias))
+        elif kind == "min":
+            merge1.append(F.min(col).alias(alias))
+        elif kind == "max":
+            merge1.append(F.max(col).alias(alias))
+        elif kind == "hll":
+            merge1.append(F.hll_sketch_estimate(F.hll_union_agg(col)).alias(alias))
+        elif kind == "moment" and alias == plan.mom_aliases.get(c, {}).get("mean"):
+            # Σ n_i·mean_i = the exact per-partition sums
+            merge1.append(
+                F.sum(col * F.col(plan.nn_alias[c])).alias(alias)
+            )
+        # m2/m3/m4 merge in pass 2 (they need the global mean first)
+    row1 = partial_df.agg(*merge1).collect()[0].asDict()
+
+    mus: dict[str, float | None] = {}
+    for c, moms in plan.mom_aliases.items():
+        n = row1.get(plan.nn_alias[c]) or 0
+        s1 = row1.get(moms["mean"])
+        mus[c] = (float(s1) / n) if n and s1 is not None else None
+
+    moment_rows: dict[str, dict[str, float]] = {}
+    if any(mu is not None for mu in mus.values()):
+        merge2: list[Any] = []
+        for c, moms in plan.mom_aliases.items():
+            if mus[c] is None:
+                continue
+            mu = F.lit(mus[c])
+            n = F.col(plan.nn_alias[c]).cast("double")
+            d = F.col(moms["mean"]) - mu
+            m2, m3, m4 = F.col(moms["m2"]), F.col(moms["m3"]), F.col(moms["m4"])
+            merge2.append(F.sum(m2 + n * d * d).alias(f"M2_{moms['m2']}"))
+            merge2.append(F.sum(m3 + 3 * d * m2 + n * d * d * d).alias(f"M3_{moms['m3']}"))
+            merge2.append(
+                F.sum(m4 + 4 * d * m3 + 6 * d * d * m2 + n * d * d * d * d).alias(
+                    f"M4_{moms['m4']}"
+                )
+            )
+        row2 = partial_df.agg(*merge2).collect()[0].asDict()
+        for c, moms in plan.mom_aliases.items():
+            if mus[c] is None:
+                continue
+            moment_rows[c] = {
+                "M2": float(row2[f"M2_{moms['m2']}"] or 0.0),
+                "M3": float(row2[f"M3_{moms['m3']}"] or 0.0),
+                "M4": float(row2[f"M4_{moms['m4']}"] or 0.0),
+            }
+
+    stats: dict[str, dict[str, float | None]] = {}
+    row_count = 0
+    for alias, c, kind, metric in plan.specs:
+        if metric == "row_count":
+            row_count = int(row1[alias] or 0)
+            continue
+        st = stats.setdefault(c, {})
+        v = row1.get(alias)
+        if kind == "sum":
+            st[metric] = None if v is None else float(v)
+        elif kind in ("min", "max"):
+            st[metric] = None if v is None else float(v)
+        elif kind == "sum_div_nn":
+            nn = row1.get(plan.nn_alias[c]) or 0
+            st[metric] = (float(v) / nn) if v is not None and nn else None
+        elif kind == "hll":
+            st[metric] = 0.0 if v is None else float(v)
+        elif kind == "moment":
+            n = int(row1.get(plan.nn_alias[c]) or 0)
+            mu = mus.get(c)
+            if metric == "mean":
+                st[metric] = mu
+            elif n == 0 or mu is None:
+                st[metric] = None  # Spark returns null for empty input
+            else:
+                m = moment_rows.get(c, {"M2": 0.0, "M3": 0.0, "M4": 0.0})
+                M2, M3, M4 = m["M2"], m["M3"], m["M4"]
+                # fp-noise floor: a truly constant column can surface a
+                # merged M2 of ~n·ulp(μ)² from the 1-ulp rounding of
+                # per-partition means; without the floor that noise
+                # amplifies to garbage skew/kurt where Spark (exactly)
+                # reports null for zero variance
+                floor = n * (1e-12 * (abs(mu) + 1e-12)) ** 2
+                if M2 <= floor:
+                    M2 = 0.0
+                if metric == "std":  # stddev_samp: null for n<2 (Spark 4)
+                    st[metric] = (
+                        None if n < 2 else math.sqrt(max(M2, 0.0) / (n - 1))
+                    )
+                elif metric == "skewness":  # null when M2==0 (Spark 4)
+                    st[metric] = (
+                        None if M2 <= 0 else math.sqrt(n) * M3 / (M2 ** 1.5)
+                    )
+                elif metric == "kurtosis":
+                    st[metric] = (
+                        None if M2 <= 0 else n * M4 / (M2 * M2) - 3.0
+                    )
+    result = ProfileResult(
+        row_count=row_count, stats=stats, column_types=plan.column_types
+    )
+    result.suggestions = _suggest(result)
+    return result
+
+
+def profile_quantiles(
+    df: DataFrame, columns: list[str]
+) -> dict[str, dict[str, float | None]]:
+    """q1/median/q3 for numeric columns in ONE aggregation whose scan is
+    column-pruned to exactly ``columns`` — the only profile statistic
+    that cannot ride the fused per-partition pass."""
+    if not columns:
+        return {}
+    row = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                config.PERCENTILE_ACCURACY,
+            ).alias(f"q_{i}")
+            for i, c in enumerate(columns)
+        ]
+    ).collect()[0]
+    out: dict[str, dict[str, float | None]] = {}
+    for i, c in enumerate(columns):
+        qs = row[f"q_{i}"]
+        if qs is None:
+            out[c] = {"q1": None, "median": None, "q3": None}
+        else:
+            out[c] = {
+                "q1": None if qs[0] is None else float(qs[0]),
+                "median": None if qs[1] is None else float(qs[1]),
+                "q3": None if qs[2] is None else float(qs[2]),
+            }
+    return out
+
+
+def profile_partitioned(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    detect_formats: bool = False,
+    distinct_nested: bool = False,
+    with_quantiles: bool = True,
+) -> ProfileResult:
+    """Standalone fused-scan profile: one pass grouped by
+    ``spark_partition_id()`` + the merge aggregations (+ the pruned
+    quantile pass when numeric columns exist). Same metric names and
+    reference semantics as profile(); distinct counts use the HLL
+    sketch family instead of approx_count_distinct. run_validation goes
+    further and shares the partial scan with the row rules."""
+    plan = build_partial_profile(df, columns, detect_formats, distinct_nested)
+    part = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(*plan.exprs)
+        .persist()
+    )
+    try:
+        result = finalize_partial_profile(part, plan)
+        if with_quantiles and plan.quantile_cols:
+            for c, qs in profile_quantiles(df, plan.quantile_cols).items():
+                result.stats.setdefault(c, {}).update(qs)
+            result.suggestions = _suggest(result)
+    finally:
+        part.unpersist()
+    return result
+
+
 def _suggest(p: ProfileResult) -> dict[str, dict[str, Any]]:
     """Schema suggestions from profile stats.
 

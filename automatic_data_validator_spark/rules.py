@@ -241,6 +241,84 @@ def row_level(rules: list[Rule]) -> list[Rule]:
     return [r for r in rules if r.kind not in ("unique_key", "referential")]
 
 
+def per_partition_rule_aggregate(
+    df: DataFrame,
+    preds: list[tuple[str, Column]],
+    extra_exprs: "list | tuple" = (),
+) -> DataFrame:
+    """One hash-aggregate scan grouped by ``spark_partition_id()``:
+    row_count + one violation count per rule, plus any
+    ``extra_exprs`` (aliased aggregate expressions) computed in the
+    SAME pass — the hook the fused rules+profile scan uses so the
+    profiler costs zero additional input reads (round-2 directive #1).
+    Group on the expression directly (no withColumn): a user column
+    named "partition_id" must not be shadowed while predicates
+    evaluate."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[
+            F.sum(F.coalesce((~p).cast("long"), F.lit(1))).alias(f"viol_{i}")
+            for i, (_rid, p) in enumerate(preds)
+        ],
+        *extra_exprs,
+    )
+
+
+def verdicts_from_per_partition(
+    per_part: DataFrame, rule_ids: list[str]
+) -> DataFrame:
+    """Unpivot the per-partition aggregate into VERDICT_SCHEMA rows."""
+    stack_parts = ", ".join(
+        f"'{rid}', viol_{i}" for i, rid in enumerate(rule_ids)
+    )
+    return per_part.select(
+        F.col("partition_id").cast("int"),
+        F.expr(
+            f"stack({len(rule_ids)}, {stack_parts}) as (rule_id, violation_count)"
+        ),
+        F.col("row_count"),
+    ).select(
+        "partition_id",
+        "rule_id",
+        F.col("row_count").cast("long"),
+        F.col("violation_count").cast("long"),
+        (F.col("violation_count") == 0).alias("pass"),
+    )
+
+
+def violation_rows(
+    df: DataFrame,
+    preds: list[tuple[str, Column]],
+    key_column: str = "doc_id",
+) -> DataFrame:
+    """Violation rows (sparse filter scan). Failed rule ids are packed
+    into one comma-joined string (plain when/concat_ws — no array
+    lambdas), rows with any failure survive the filter, then a
+    split+explode fans out one row per (doc, failed rule)."""
+    failed_csv = F.concat_ws(
+        ",",
+        *[
+            F.when(F.coalesce(p, F.lit(False)) == F.lit(False), F.lit(rid))
+            for rid, p in preds
+        ],
+    )
+    return (
+        df.select(
+            F.col(key_column).cast("string").alias("doc_id"),
+            F.spark_partition_id().cast("int").alias("partition_id"),
+            failed_csv.alias("_failed"),
+        )
+        .filter(F.col("_failed") != "")
+        .select(
+            "doc_id",
+            F.explode(F.split("_failed", ",")).alias("rule_id"),
+            "partition_id",
+            F.lit(None).cast("string").alias("detail"),
+        )
+        .select("doc_id", "rule_id", "partition_id", "detail")
+    )
+
+
 def evaluate_row_rules(
     df: DataFrame,
     rules: list[Rule],
@@ -257,57 +335,6 @@ def evaluate_row_rules(
     if not rr:
         raise ValueError("no row-level rules to evaluate")
     preds = [(r.rule_id, compile_rule(r, df)) for r in rr]
-    # pass 1: per-partition counts, single hash aggregate. Group on the
-    # expression directly (no withColumn): a user column named
-    # "partition_id" must not be shadowed while rule predicates evaluate
-    per_part = df.groupBy(
-        F.spark_partition_id().alias("partition_id")
-    ).agg(
-        F.count(F.lit(1)).alias("row_count"),
-        *[
-            F.sum(F.coalesce((~p).cast("long"), F.lit(1))).alias(f"viol_{i}")
-            for i, (_rid, p) in enumerate(preds)
-        ],
-    )
-    stack_parts = ", ".join(
-        f"'{rid}', viol_{i}" for i, (rid, _p) in enumerate(preds)
-    )
-    verdicts = per_part.select(
-        F.col("partition_id").cast("int"),
-        F.expr(f"stack({len(preds)}, {stack_parts}) as (rule_id, violation_count)"),
-        F.col("row_count"),
-    ).select(
-        "partition_id",
-        "rule_id",
-        F.col("row_count").cast("long"),
-        F.col("violation_count").cast("long"),
-        (F.col("violation_count") == 0).alias("pass"),
-    )
-
-    # pass 2: violation rows (sparse filter scan). Failed rule ids are
-    # packed into one comma-joined string (plain when/concat_ws — no
-    # array lambdas), rows with any failure survive the filter, then a
-    # split+explode fans out one row per (doc, failed rule).
-    failed_csv = F.concat_ws(
-        ",",
-        *[
-            F.when(F.coalesce(p, F.lit(False)) == F.lit(False), F.lit(rid))
-            for rid, p in preds
-        ],
-    )
-    violations = (
-        df.select(
-            F.col(key_column).cast("string").alias("doc_id"),
-            F.spark_partition_id().cast("int").alias("partition_id"),
-            failed_csv.alias("_failed"),
-        )
-        .filter(F.col("_failed") != "")
-        .select(
-            "doc_id",
-            F.explode(F.split("_failed", ",")).alias("rule_id"),
-            "partition_id",
-            F.lit(None).cast("string").alias("detail"),
-        )
-        .select("doc_id", "rule_id", "partition_id", "detail")
-    )
-    return verdicts, violations
+    per_part = per_partition_rule_aggregate(df, preds)
+    verdicts = verdicts_from_per_partition(per_part, [rid for rid, _p in preds])
+    return verdicts, violation_rows(df, preds, key_column)
