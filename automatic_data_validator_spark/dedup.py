@@ -20,6 +20,7 @@ path).
 
 from __future__ import annotations
 
+import pyarrow as pa  # module-level: arrow_udf resolves type hints here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -245,20 +246,341 @@ def word_shingles(text_col: str, k: int = 3):
     return _let(F.split(F.lower(F.col(text_col)), r"\s+"), shingles_of)
 
 
-def minhash_signature(text_col: str, num_hashes: int = 16, shingle_k: int = 3):
-    """Column expr: MinHash signature (array<bigint>) of a text column.
+# --- vectorized XXH64 tail mixes (Arrow signature path) ---------------------
+#
+# Spark's xxhash64(col1, col2, ...) chains: hash = XXH64(col1, seed=42);
+# hash = XXH64(col2, seed=hash); ... — so xxhash64(shingle, i) equals
+# "mix the 4-byte int i with seed = xxhash64(shingle)". The JVM computes
+# the per-shingle string hashes (one cheap native pass); the int-tail
+# mix below reproduces org.apache.spark.sql.catalyst.expressions.XXH64
+# .hashInt (public Apache code, the standard XXH64 4-byte tail) as ~10
+# vectorized uint64 ops per seed — replacing the interpreted zip_with
+# fold that dominated the expression path's cost.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_mix_int(i: int, seeds):
+    """Vectorized Spark XXH64.hashInt(i, seed) over a uint64 seed array."""
+    import numpy as np
+
+    p2, p3 = np.uint64(_XXH_P2), np.uint64(_XXH_P3)
+    h = seeds + np.uint64((_XXH_P5 + 4) & 0xFFFFFFFFFFFFFFFF)
+    # fold the constant (input * PRIME1) in python ints: a numpy scalar
+    # multiply would emit a spurious overflow RuntimeWarning per call
+    h = h ^ np.uint64(((i & 0xFFFFFFFF) * _XXH_P1) & 0xFFFFFFFFFFFFFFFF)
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * p2 + p3
+    h = h ^ (h >> np.uint64(33))
+    h = h * p2
+    h = h ^ (h >> np.uint64(29))
+    h = h * p3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+_XXH_P4 = 0x85EBCA77C2B2AE63
+# Java regex \s (default, non-UNICODE flags) = [ \t\n\x0B\f\r] — ASCII
+# only, so byte-level scanning of UTF-8 is exact (continuation bytes
+# are >= 0x80 and never match)
+_WS_BYTES = (9, 10, 11, 12, 13, 32)
+
+
+def _xxh64_bytes_padded(mat, lens, seed: int):
+    """Vectorized standard XXH64 (Collet, BSD; the algorithm behind
+    Spark's catalyst XXH64.java hashUnsafeBytes) over the rows of a
+    zero-padded uint8 matrix with true byte lengths ``lens``.
+
+    mat: (n, L) C-contiguous uint8, L a multiple of 32 (pad ignored via
+    length masks). Returns uint64 hashes. All arithmetic wraps in
+    uint64; multi-byte reads are little-endian (x86/arm64 native)."""
+    import numpy as np
+
+    p1 = np.uint64(_XXH_P1)
+    p2 = np.uint64(_XXH_P2)
+    p3 = np.uint64(_XXH_P3)
+    p4 = np.uint64(_XXH_P4)
+    p5 = np.uint64(_XXH_P5)
+    u64 = np.uint64
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def rnd(acc, inp):
+        return rotl(acc + inp * p2, 31) * p1
+
+    n, L = mat.shape
+    lens = lens.astype(np.int64)
+    w64 = mat.view(np.uint64).reshape(n, L // 8)
+    w32 = mat.view(np.uint32).reshape(n, L // 4)
+    rows = np.arange(n)
+    s = u64(seed & 0xFFFFFFFFFFFFFFFF)
+
+    nblocks = lens // 32
+    maxb = int(nblocks.max()) if n else 0
+    has_blocks = nblocks > 0
+    v1 = np.full(n, s + p1 + p2, dtype=np.uint64)
+    v2 = np.full(n, s + p2, dtype=np.uint64)
+    v3 = np.full(n, s, dtype=np.uint64)
+    v4 = np.full(n, s - p1, dtype=np.uint64)
+    for b in range(maxb):
+        act = b < nblocks
+        base = b * 4
+        v1 = np.where(act, rnd(v1, w64[:, base]), v1)
+        v2 = np.where(act, rnd(v2, w64[:, base + 1]), v2)
+        v3 = np.where(act, rnd(v3, w64[:, base + 2]), v3)
+        v4 = np.where(act, rnd(v4, w64[:, base + 3]), v4)
+    merged = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+    for v in (v1, v2, v3, v4):
+        merged = (merged ^ rnd(np.uint64(0), v)) * p1 + p4
+    h = np.where(has_blocks, merged, s + p5)
+
+    h = h + lens.astype(np.uint64)
+    # tail: up to three 8-byte rounds, one 4-byte, up to three 1-byte.
+    # Gathers use one flat fancy index over the raveled buffer —
+    # cheaper than 2-D (row, col) indexing.
+    p = nblocks * 32
+    f64 = w64.ravel()
+    f32 = w32.ravel()
+    f8 = mat.ravel()
+    row64 = rows * (L // 8)
+    row32 = rows * (L // 4)
+    row8 = rows * L
+    for _ in range(3):
+        ok = p + 8 <= lens
+        inp = f64[row64 + np.minimum(p // 8, L // 8 - 1)]
+        h = np.where(ok, rotl(h ^ rnd(np.uint64(0), inp), 27) * p1 + p4, h)
+        p = np.where(ok, p + 8, p)
+    ok = p + 4 <= lens
+    inp32 = f32[row32 + np.minimum(p // 4, L // 4 - 1)].astype(np.uint64)
+    h = np.where(ok, rotl(h ^ (inp32 * p1), 23) * p2 + p3, h)
+    p = np.where(ok, p + 4, p)
+    for _ in range(3):
+        ok = p < lens
+        b8 = f8[row8 + np.minimum(p, L - 1)].astype(np.uint64)
+        h = np.where(ok, rotl(h ^ (b8 * p5), 11) * p1, h)
+        p = np.where(ok, p + 1, p)
+    h ^= h >> u64(33)
+    h *= p2
+    h ^= h >> u64(29)
+    h *= p3
+    h ^= h >> u64(32)
+    return h
+
+
+def _minhash_text_kernel(texts, num_hashes: int, k: int):
+    """MinHash signatures for a batch of ALREADY-LOWERCASED texts —
+    everything after the JVM's lower() happens vectorized in numpy
+    (round-2 directive #2: "tokenize + hash shingles in numpy per
+    Arrow batch"):
+
+      1. zero-copy UTF-8 bytes via the pyarrow string buffers;
+      2. tokenization replicating Java ``split("\\s+", -1)`` exactly
+         (leading/trailing empty words kept) by collapsing each ASCII
+         whitespace run to one ' ' — the collapsed buffer IS the
+         concatenation of every doc's ``" ".join(words)``;
+      3. k-word shingle byte ranges from the word-boundary offsets
+         (whole doc when it has fewer than k words);
+      4. vectorized XXH64(seed 42) per shingle — bit-identical to
+         Spark's xxhash64(shingle);
+      5. per-seed int-tail mixes + segment-min fold.
+
+    Returns (sigs int64 (n_valid, num_hashes), valid bool mask).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr := texts, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    valid = np.asarray(arr.is_valid())
+    n_all = len(arr)
+    if not valid.any():
+        return np.empty((0, num_hashes), dtype=np.int64), valid
+    if not valid.all():
+        arr = arr.filter(pa.array(valid))
+    offs = np.asarray(arr.buffers()[1]).view(np.int32).astype(np.int64)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    data_buf = arr.buffers()[2]
+    buf = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None and len(data_buf)
+        else np.empty(0, dtype=np.uint8)
+    )
+    n = len(arr)
+
+    ws_table = np.zeros(256, dtype=bool)
+    for b in _WS_BYTES:
+        ws_table[b] = True
+    ws = ws_table[buf] if len(buf) else np.zeros(0, dtype=bool)
+    prev_ws = np.empty_like(ws)
+    if len(ws):
+        prev_ws[0] = False
+        prev_ws[1:] = ws[:-1]
+        # a doc's first byte never continues the previous doc's run
+        starts_in_range = offs[:-1][offs[:-1] < len(ws)]
+        prev_ws[starts_in_range] = False
+    keep = ~(ws & prev_ws)
+    kept_cum = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.cumsum(keep, out=kept_cum[1:])
+    cbuf = buf[keep].copy()
+    cbuf[ws[keep]] = 32  # normalize every kept whitespace byte to ' '
+    coffs = kept_cum[offs]  # canonical doc offsets
+    clens = np.diff(coffs)
+
+    sp = np.flatnonzero(cbuf == 32)  # word separators, globally sorted
+    sp_per_doc = np.diff(np.searchsorted(sp, coffs))
+    n_words = sp_per_doc + 1
+    total_words = int(n_words.sum())
+    word_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_words, out=word_off[1:])
+    wstarts = np.empty(total_words, dtype=np.int64)
+    first = np.zeros(total_words, dtype=bool)
+    first[word_off[:-1]] = True
+    wstarts[first] = coffs[:-1]
+    wstarts[~first] = sp + 1
+    # word i's end boundary: next word's start - 1 (the separator), and
+    # the last word ends at the doc end
+    wends = np.empty(total_words, dtype=np.int64)
+    wends[: total_words - 1] = wstarts[1:] - 1
+    last = word_off[1:] - 1
+    wends[last] = coffs[1:]
+
+    m = np.where(n_words >= k, n_words - k + 1, 1)
+    total_sh = int(m.sum())
+    sh_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(m, out=sh_off[1:])
+    # shingle j of doc d starts at word j and ends at word j+k-1's end;
+    # docs with fewer than k words contribute one whole-doc shingle
+    doc_of_sh = np.repeat(np.arange(n), m)
+    j_in_doc = np.arange(total_sh) - sh_off[doc_of_sh]
+    short = n_words[doc_of_sh] < k
+    w_first = word_off[doc_of_sh] + j_in_doc
+    sh_start = wstarts[w_first]
+    w_last = np.where(
+        short,
+        word_off[doc_of_sh + 1] - 1,
+        w_first + (k - 1),
+    )
+    sh_end = wends[w_last]
+    sh_len = sh_end - sh_start
+
+    # hash in power-of-two length buckets: padding to the GLOBAL max
+    # would make the gather O(total_shingles x longest_shingle) — one
+    # megabyte-sized outlier doc would blow the batch's memory. Bucketed
+    # padding wastes at most 2x per shingle. The gathered pad bytes
+    # need no zeroing: _xxh64_bytes_padded only ever reads words/bytes
+    # strictly within each row's true length.
+    base = np.empty(total_sh, dtype=np.uint64)
+    max_len = int(sh_len.max()) if total_sh else 0
+    sh_start32 = sh_start.astype(np.int32)
+    lo = 0
+    L = 32
+    while lo <= max_len:
+        # int32 index math + tail padding instead of clip: half the
+        # index-matrix bytes, one fewer full pass
+        cpad = np.concatenate([cbuf, np.zeros(L, dtype=np.uint8)])
+        if lo == 0 and max_len <= L:
+            sel = slice(None)
+            lens_sel = sh_len
+            idx = sh_start32[:, None] + np.arange(L, dtype=np.int32)[None, :]
+        else:
+            sel = np.flatnonzero((sh_len >= lo) & (sh_len < L + 1))
+            if not len(sel):
+                lo = L + 1
+                L *= 2
+                continue
+            lens_sel = sh_len[sel]
+            idx = sh_start32[sel, None] + np.arange(L, dtype=np.int32)[None, :]
+        mat = cpad[idx]
+        base[sel] = _xxh64_bytes_padded(mat, lens_sel, 42)
+        if isinstance(sel, slice):
+            break
+        lo = L + 1
+        L *= 2
+    # per-seed int-tail mix + contiguous 1-D segment-min (a 2-D
+    # axis-0 reduceat over a (shingles x seeds) matrix measured ~2x
+    # slower: strided column access defeats the ufunc inner loop)
+    sigs = np.empty((n, num_hashes), dtype=np.int64)
+    for i in range(num_hashes):
+        v = _xxh64_mix_int(i, base).view(np.int64)
+        # signed min — Spark's least() compares bigints signed
+        sigs[:, i] = np.minimum.reduceat(v, sh_off[:-1])
+    return sigs, valid
+
+
+def _minhash_text_udf(num_hashes: int, k: int):
+    import numpy as np
+    from pyspark.sql.functions import arrow_udf
+
+    # NULL text: the expression path folds over the single NULL shingle
+    # word_shingles emits (array_join(null) -> [null]), and
+    # xxhash64(null, i) leaves the seed untouched before the int mix —
+    # so every null doc gets THIS constant signature (they collide into
+    # one bucket), not a null signature. Pinned by the equality test.
+    null_sig = np.array(
+        [
+            int(
+                _xxh64_mix_int(i, np.array([42], dtype=np.uint64)).view(np.int64)[0]
+            )
+            for i in range(num_hashes)
+        ],
+        dtype=np.int64,
+    )
+
+    @arrow_udf("array<bigint>")
+    def sig(texts: pa.Array) -> pa.Array:
+        # pa.Array in -> pa.ListArray out: the list values land in one
+        # contiguous int64 buffer (no per-row python lists)
+        n = len(texts)
+        sigs, valid = _minhash_text_kernel(texts, num_hashes, k)
+        full = np.tile(null_sig, (n, 1))
+        if valid.any():
+            full[valid] = sigs
+        offsets = pa.array(
+            np.arange(n + 1, dtype=np.int32) * num_hashes, type=pa.int32()
+        )
+        return pa.ListArray.from_arrays(
+            offsets, pa.array(full.ravel(), type=pa.int64())
+        )
+
+    return sig
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 16, shingle_k: int = 3, impl: str = "arrow"
+):
+    """Column: MinHash signature (array<bigint>) of a text column.
 
     sig[i] = min over shingles of xxhash64(shingle, i) — the standard
-    k independent-permutation approximation, entirely in Catalyst
-    higher-order functions (no shuffle, no Python). All ``num_hashes``
-    minima fold in ONE aggregate pass over the shingles with an
-    array accumulator. The previous per-permutation formulation not
-    only walked the shingle array ``num_hashes`` times — it REBUILT it
-    (word split + slice + join) each time, since interpreted HOFs get
-    no common-subexpression elimination: measured 115s -> 6.8s (17x)
-    at 160k docs, local[16]. Equality across null/empty/short texts is
-    pinned by test.
+    k independent-permutation approximation.
+
+    impl='arrow' (default): the JVM contributes only lower() (locale
+    semantics stay JVM-side); tokenization, shingle assembly, XXH64,
+    the ``num_hashes`` seed mixes, and the segment-min fold all run
+    vectorized in numpy per Arrow batch (_minhash_text_kernel) —
+    bit-identical to the expression path (equality pinned across
+    null/empty/short/unicode texts) and several-fold faster: the
+    interpreted per-shingle HOF work (shingle build + zip_with fold)
+    was the dominant cost (round-2 directive #2). The trivial UDF
+    input also sidesteps a Spark 4.1 extraction bug with
+    nested-lambda-bearing Python-UDF inputs ("Cannot generate code
+    for expression").
+
+    impl='expr': pure Catalyst — all minima fold in ONE aggregate pass
+    with an array accumulator. The previous per-permutation formulation
+    not only walked the shingle array ``num_hashes`` times — it REBUILT
+    it (word split + slice + join) each time, since interpreted HOFs
+    get no common-subexpression elimination: measured 115s -> 6.8s
+    (17x) at 160k docs, local[16].
     """
+    if impl == "arrow":
+        return _minhash_text_udf(num_hashes, shingle_k)(F.lower(F.col(text_col)))
     sh = word_shingles(text_col, shingle_k)
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
@@ -275,32 +597,44 @@ def _lsh_band_buckets(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """(_id, band, bucket) rows: one 8-byte bucket hash per band."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_k)
-    return df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
+    sig = minhash_signature(text_col, num_hashes, shingle_k, impl=signature_impl)
+    bucket_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
                     )
-                    for b in range(bands)
-                ]
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+            for b in range(bands)
+        ]
+    )
+    # two-step (bucket structs in a Project, then explode a BARE column
+    # ref) and explode_OUTER + explicit null filter: a plain explode
+    # makes InferFiltersFromGenerate synthesize a `size(...) > 0` filter
+    # that predicate-pushdown rewrites back through the projection,
+    # duplicating the Python-UDF signature into a Filter where it cannot
+    # always be extracted into an ArrowEvalPython node (runtime
+    # "Cannot evaluate expression" otherwise); outer generates are
+    # skipped by that rule, and the null filter restores explode
+    # semantics (null/empty signatures drop out)
+    return (
+        df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+        .select("_id", bucket_arr.alias("_bb"))
+        .select("_id", F.explode_outer("_bb").alias("bb"))
+        .filter(F.col("bb").isNotNull())
+        .select("_id", "bb.band", "bb.bucket")
+    )
 
 
 def minhash_lsh_duplicates(
@@ -311,6 +645,7 @@ def minhash_lsh_duplicates(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
@@ -326,28 +661,38 @@ def minhash_lsh_duplicates(
     the same arguments returns exactly what was dropped (callers
     should surface its count when max_bucket_size matters).
     """
-    from pyspark.sql import Window
-
-    with_bands = _lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_k)
-    # window keyed exactly like the join: one shuffle keys both
-    w = Window.partitionBy("band", "bucket")
-    bounded = (
-        with_bands.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
-        .drop("_bn")
+    with_bands = _lsh_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
     )
-    pairs = (
-        bounded.alias("l")
-        .join(
-            bounded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+    # Single-branch pair generation: ONE shuffle keyed (band, bucket),
+    # buckets capped at the aggregation (HAVING), pairs expanded from
+    # the sorted in-bucket id list. The former bucket self-join read
+    # the banded table twice — recomputing every signature per side
+    # when exchange reuse didn't fire (and the Python-UDF signature of
+    # the duplicated right branch escaped ArrowEvalPython extraction
+    # entirely) — while this shape computes signatures once. In-bucket
+    # expansion is safe because the bucket cap bounds the list at
+    # ``max_bucket_size`` ids.
+    grouped = (
+        with_bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket_size))
+    )
+    ids = F.col("_ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def lsh_oversize_buckets(
@@ -358,30 +703,80 @@ def lsh_oversize_buckets(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """Audit companion to minhash_lsh_duplicates' bucket cap: the
     (band, bucket, n_docs) rows that exceeded max_bucket_size and were
     therefore excluded from candidate generation."""
     return (
-        _lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_k)
+        _lsh_band_buckets(
+            df, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
+        )
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > max_bucket_size)
     )
 
 
-def simhash(text_col: str, bits: int = 64):
-    """Column expr: 64-bit SimHash of a text column as bigint.
+def _simhash_fold_udf():
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    Per-row only (no shuffle): token hashes via xxhash64, bit-majority
-    folded in ONE aggregate() pass with a ``bits``-wide vote-array
-    accumulator, then bit-packed in the aggregate's finish lambda.
-    (The previous formulation ran ``bits`` separate interpreted
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf("bigint")
+    def fold(hs):  # Series of array<bigint> token hashes -> bigint simhash
+        out = np.empty(len(hs), dtype=object)
+        out[:] = None
+        valid = [j for j in range(len(hs)) if hs.iloc[j] is not None]
+        if not valid:
+            return pd.Series(out)
+        arrs = [np.asarray(hs.iloc[j], dtype=np.int64) for j in valid]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        # bit j of each uint64 -> column j (little-endian bytes + bits)
+        bits = np.unpackbits(
+            flat.view(np.uint64).view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        )
+        cs = np.cumsum(lens)
+        starts = np.concatenate([[0], cs[:-1]]).astype(np.int64)
+        counts = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        vote = (2 * counts - lens[:, None]) > 0  # majority, ties -> 0 bit
+        packed = (vote.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+        signed = packed.view(np.int64)
+        for row, j in enumerate(valid):
+            out[j] = int(signed[row])
+        return pd.Series(out)
+
+    return fold
+
+
+def simhash(text_col: str, bits: int = 64, impl: str = "arrow"):
+    """Column: 64-bit SimHash of a text column as bigint.
+
+    Per-row only (no shuffle). impl='arrow' (default, bits=64 only):
+    the JVM emits one xxhash64 per token; a numpy kernel unpacks bit
+    matrices, majority-votes per row segment, and repacks — identical
+    output to the expression path (equality pinned) without the
+    interpreted 64-wide vote-array lambdas (round-2 directive #2).
+
+    impl='expr' (and any bits != 64): token hashes via xxhash64,
+    bit-majority folded in ONE aggregate() pass with a ``bits``-wide
+    vote-array accumulator, then bit-packed in the aggregate's finish
+    lambda. (The previous formulation ran ``bits`` separate interpreted
     aggregate() passes over the token hashes — same op count but
     ``bits``x the array traversals and lambda dispatch; HOF lambdas
     measured 20x slower than native exprs, see rules.py. Single-pass
     measured 3.1x faster at 160k docs, local[16].)
     """
+    if impl == "arrow" and bits == 64:
+        token_hashes = F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        )
+        return _simhash_fold_udf()(token_hashes)
     quoted = "`" + text_col.replace("`", "``") + "`"
     return F.expr(
         f"""
@@ -407,6 +802,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-duplicates via Hamming banding.
 
@@ -420,15 +816,18 @@ def simhash_neardup_pairs(
     Note: max_hamming > bands-1 loses the recall guarantee (candidates
     beyond it are caught only opportunistically) — raise bands instead.
     """
-    from pyspark.sql import Window
-
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
-    with_bands = sh.select(
-        "_id",
-        "_sh",
-        F.explode(
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col, impl=signature_impl).alias("_sh")
+    )
+    # same explode_outer + null-filter pattern as _lsh_band_buckets
+    # (see comment there): keeps the Python-UDF simhash out of
+    # optimizer-inferred filters
+    with_bands = (
+        sh.select(
+            "_id",
+            "_sh",
             F.array(
                 *[
                     F.struct(
@@ -439,28 +838,42 @@ def simhash_neardup_pairs(
                     )
                     for b in range(bands)
                 ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.slice")
-    w = Window.partitionBy("band", "slice")
-    bounded = (
-        with_bands.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
-        .drop("_bn")
+            ).alias("_bb"),
+        )
+        .select("_id", "_sh", F.explode_outer("_bb").alias("bb"))
+        .filter(F.col("bb").isNotNull())
+        .select("_id", "_sh", "bb.band", "bb.slice")
+    )
+    # single-branch bucket expansion (see minhash_lsh_duplicates): one
+    # shuffle, signatures computed once, capped buckets at the agg
+    grouped = (
+        with_bands.groupBy("band", "slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sh")))
+            ).alias("_members")
+        )
+        .filter(
+            (F.size("_members") >= 2) & (F.size("_members") <= max_bucket_size)
+        )
+    )
+    members = F.col("_members")
+    combos = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    F.bit_count(x["_sh"].bitwiseXOR(y["_sh"])).alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        bounded.alias("l")
-        .join(
-            bounded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.slice") == F.col("r.slice"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
-        )
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
