@@ -91,3 +91,8 @@ BROADCAST_ROW_LIMIT = 5_000_000
 LSH_MAX_BUCKET_SIZE = 2_000
 # accuracy for percentile_approx (1/eps); 10k => ~0.01% rank error.
 PERCENTILE_ACCURACY = 10_000
+# Checkpoint-registry retention (reference session_manager.py caps live
+# sessions and expires them: config.py:80-81 SESSION_TIMEOUT_HOURS=24,
+# MAX_SESSIONS=100).
+CHECKPOINT_MAX_AGE_HOURS = 24.0
+CHECKPOINT_MAX_SESSIONS = 100

@@ -95,9 +95,14 @@ def build_plan(
     # reference mode()[0] semantics (previously one job per column)
     mode_cols = [c for c, v in plan.imputations.items() if v == "__MODE__"]
     if mode_cols:
+        # backslash-escape the label literal: doubling a quote ('') in
+        # Spark SQL lexes as two ADJACENT literals that concatenate
+        # ('it''s' -> 'its'), so a quoted column name would mis-key the
+        # mode lookup and silently impute 'Unknown' (round-2 ADVICE)
         stack_expr = ", ".join(
             "'{lbl}', `{ref}`".format(
-                lbl=c.replace("'", "''"), ref=c.replace("`", "``")
+                lbl=c.replace("\\", "\\\\").replace("'", "\\'"),
+                ref=c.replace("`", "``"),
             )
             for c in mode_cols
         )
@@ -123,7 +128,15 @@ def build_plan(
 def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
     """Apply the plan as ONE lazy transformation chain — executed in a
     single action by the caller. Step order matches the reference
-    fallback cleaner exactly (data_corrector.py:547-631)."""
+    fallback cleaner exactly (data_corrector.py:547-631).
+
+    Steps 3-6 (impute, cap, standardize, cast) compose into a SINGLE
+    select: every step transforms a column independently of the
+    others, so chaining them as nested expressions is semantically
+    identical to the former one-withColumn-per-step build — which
+    created one nested projection per touched column and quadratic
+    analyzer time on wide tables (round-2 directive #7; plan-build is
+    linear in column count now, pinned by a 500-column timing test)."""
     out = df
     # 1. dedup (keep-first by order_key for determinism)
     if plan.dedup_keys is not None and plan.order_key:
@@ -134,57 +147,60 @@ def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
     else:
         out = out.dropDuplicates()
     # 2. drop high-null columns
-    for c in plan.dropped_columns:
-        out = out.drop(c)
-    # 3. impute. Pandas fillna UPCASTS an int column to float when the
-    # fill value is fractional (the reference fills 2.5, not 2) — a
-    # plain Spark fillna would silently truncate to the column type, so
-    # integer columns receiving a fractional value are cast to double
-    # first, keeping the applied value identical to plan.imputations.
+    if plan.dropped_columns:
+        out = out.drop(*plan.dropped_columns)
+
     _int_types = {"tinyint", "smallint", "int", "bigint"}
     dtypes = dict(out.dtypes)
     numeric_imp = {
         c: v
         for c, v in plan.imputations.items()
-        if c not in plan.dropped_columns and isinstance(v, (int, float)) and v is not None
+        if c in dtypes and isinstance(v, (int, float)) and v is not None
     }
     string_imp = {
         c: v
         for c, v in plan.imputations.items()
-        if c not in plan.dropped_columns and isinstance(v, str)
+        if c in dtypes and isinstance(v, str)
     }
-    for c, v in numeric_imp.items():
-        if dtypes.get(c) in _int_types and float(v) != float(int(v)):
-            out = out.withColumn(c, F.col(c).cast("double"))
-            dtypes[c] = "double"
-    if numeric_imp:
-        out = out.fillna(numeric_imp)
-    if string_imp:
-        out = out.fillna(string_imp)
-    # 4. cap outliers: clip == least(greatest(x, lo), hi). Same upcast
-    # rule: fractional IQR bounds on an int column keep the double
-    # (pandas clip with float bounds yields float), otherwise the
-    # original dtype is restored.
-    for c, (lo, hi) in plan.caps.items():
-        if c in plan.dropped_columns or c not in out.columns:
-            continue
-        dt = dtypes.get(c, dict(out.dtypes)[c])
-        clipped = F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
-        fractional_bounds = (lo != int(lo)) or (hi != int(hi))
-        if dt in _int_types and fractional_bounds:
-            out = out.withColumn(c, clipped)
-            dtypes[c] = "double"
-        else:
-            out = out.withColumn(c, clipped.cast(dt))
-    # 5. standardize text: strip + title-case
-    for c in plan.standardize_columns:
-        if c in out.columns:
-            out = out.withColumn(c, F.initcap(F.trim(F.col(c))))
-    # 6. casts (try_cast == errors='coerce')
-    for c, t in plan.casts.items():
-        if c in out.columns:
-            out = out.withColumn(c, F.col(c).try_cast(t))
-    return out
+
+    exprs = []
+    for c in out.columns:
+        e = F.col(c)
+        dt = dtypes[c]
+        # 3. impute. Pandas fillna UPCASTS an int column to float when
+        # the fill value is fractional (the reference fills 2.5, not 2)
+        # — a plain cast-to-column-type fill would silently truncate,
+        # so such columns go to double first, keeping the applied value
+        # identical to plan.imputations.
+        if c in numeric_imp:
+            v = numeric_imp[c]
+            if dt in _int_types and float(v) != float(int(v)):
+                e = e.cast("double")
+                dt = "double"
+            # na.fill semantics: the fill value is cast to the column type
+            e = F.coalesce(e, F.lit(float(v)).cast(dt))
+        elif c in string_imp and dt == "string":
+            e = F.coalesce(e, F.lit(string_imp[c]))
+        # 4. cap outliers: clip == least(greatest(x, lo), hi). Same
+        # upcast rule: fractional IQR bounds on an int column keep the
+        # double (pandas clip with float bounds yields float).
+        if c in plan.caps:
+            lo, hi = plan.caps[c]
+            clipped = F.least(F.greatest(e.cast("double"), F.lit(lo)), F.lit(hi))
+            fractional_bounds = (lo != int(lo)) or (hi != int(hi))
+            if dt in _int_types and fractional_bounds:
+                e = clipped
+                dt = "double"
+            else:
+                e = clipped.cast(dt)
+        # 5. standardize text: strip + title-case
+        if c in plan.standardize_columns:
+            e = F.initcap(F.trim(e))
+        # 6. casts (try_cast == errors='coerce')
+        if c in plan.casts:
+            e = e.try_cast(plan.casts[c])
+        exprs.append(e.alias(c))
+    return out.select(*exprs)
 
 
 def clean(

@@ -616,19 +616,30 @@ def categorical_inconsistency(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("norm_key", F.lower(F.trim(F.col("value"))))
     )
-    w_var = Window.partitionBy("norm_key")
-    w_rank = Window.partitionBy("norm_key").orderBy(F.desc("cnt"), F.asc("value"))
     # cap at max_groups GROUPS, deterministically (largest groups
     # first) — a bare row limit would truncate arbitrary variant rows,
-    # possibly splitting a group from its canonical row
-    w_grp = Window.orderBy(F.desc("grp_cnt"), F.asc("norm_key"))
-    return (
-        counts.withColumn("n_variants", F.count(F.lit(1)).over(w_var))
+    # possibly splitting a group from its canonical row. The cap ranks
+    # a PRE-AGGREGATED one-row-per-group frame with orderBy+limit
+    # (TakeOrderedAndProject — partial top-K per partition, no global
+    # single-task window; the former Window.orderBy with no partition
+    # funneled every variant row through one task, round-2 ADVICE) and
+    # semi-joins the bounded group list (<= max_groups rows, safely
+    # broadcastable) back to the variant rows.
+    top_groups = (
+        counts.groupBy("norm_key")
+        .agg(
+            F.sum("cnt").alias("grp_cnt"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
         .filter(F.col("n_variants") > 1)
+        .orderBy(F.desc("grp_cnt"), F.asc("norm_key"))
+        .limit(max_groups)
+        .select("norm_key")
+    )
+    w_rank = Window.partitionBy("norm_key").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.join(F.broadcast(top_groups), "norm_key", "left_semi")
         .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
-        .withColumn("grp_cnt", F.sum("cnt").over(w_var))
-        .withColumn("_grp_rank", F.dense_rank().over(w_grp))
-        .filter(F.col("_grp_rank") <= max_groups)
         .select("norm_key", "value", "cnt", "is_canonical")
     )
 
@@ -707,9 +718,12 @@ def topk_values(
     (col_name, value, cnt, rnk)."""
     from pyspark.sql import Window
 
+    # backslash-escape labels — '' inside a quoted literal concatenates
+    # instead of escaping (see correct.build_plan)
     stack_expr = ", ".join(
         "'{lbl}', cast(`{ref}` as string)".format(
-            lbl=c.replace("'", "''"), ref=c.replace("`", "``")
+            lbl=c.replace("\\", "\\\\").replace("'", "\\'"),
+            ref=c.replace("`", "``"),
         )
         for c in columns
     )

@@ -34,11 +34,30 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(parallelism, 32)
     builder = SparkSession.builder
-    # respect an externally-provided master (spark-submit --master):
-    # PYSPARK_SUBMIT_ARGS / spark.master env presence means we are
-    # inside a managed submission and must not override it
+    # Respect an externally-provided master. PYSPARK_SUBMIT_ARGS alone
+    # is NOT a reliable signal: spark-submit launches the python driver
+    # attached to an ALREADY-RUNNING JVM (PYSPARK_GATEWAY_PORT) whose
+    # system properties carry the submitted spark.master — the env var
+    # is only set for gateway-launching (pyspark-shell style) runs. So
+    # check, in order: an active session, an attached submit gateway,
+    # the env var, and finally the JVM-reflecting SparkConf (round-2
+    # ADVICE: the old check silently ran `--master yarn` jobs
+    # driver-only under local[N]).
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-    if "--master" not in submit_args and "spark.master" not in submit_args:
+    master_configured = (
+        SparkSession.getActiveSession() is not None
+        or bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
+        or "--master" in submit_args
+        or "spark.master" in submit_args
+    )
+    if not master_configured:
+        try:
+            from pyspark import SparkConf
+
+            master_configured = SparkConf(loadDefaults=True).contains("spark.master")
+        except Exception:
+            master_configured = False
+    if not master_configured:
         builder = builder.master(f"local[{parallelism}]")
     builder = (
         builder.appName(app_name)

@@ -191,3 +191,81 @@ def lineage_from_verdicts(
         for v in verdicts
     ]
     return spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+
+@dataclass
+class CheckpointRegistry:
+    """Registry over a ROOT directory of checkpoint dirs (one
+    Checkpointer root per child) — the engine's analog of the
+    reference's session registry (session_manager.py: list sessions,
+    cap their number at MAX_SESSIONS, expire after
+    SESSION_TIMEOUT_HOURS; constants mirrored in config.py).
+
+    A child is any direct subdirectory containing a ``_state.json``.
+    ``cleanup`` removes expired checkpoints (by _state.json mtime) and
+    then evicts the OLDEST beyond ``max_sessions`` — never the ones
+    most recently written to.
+    """
+
+    root: str
+
+    def list(self) -> list[dict]:
+        """Checkpoint inventory, newest first: name, path, mtime,
+        snapshot_id, rule_version, completed phases."""
+        import glob
+
+        out = []
+        for state_path in glob.glob(os.path.join(self.root, "*", "_state.json")):
+            try:
+                with open(state_path) as f:
+                    state = json.load(f)
+                mtime = os.path.getmtime(state_path)
+            except (OSError, json.JSONDecodeError):
+                continue
+            d = os.path.dirname(state_path)
+            out.append(
+                {
+                    "name": os.path.basename(d),
+                    "path": d,
+                    "mtime": mtime,
+                    "snapshot_id": state.get("snapshot_id"),
+                    "rule_version": state.get("rule_version"),
+                    "completed": state.get("completed", []),
+                }
+            )
+        return sorted(out, key=lambda e: -e["mtime"])
+
+    def checkpointer(self, name: str, **kwargs) -> Checkpointer:
+        return Checkpointer(os.path.join(self.root, name), **kwargs)
+
+    def cleanup(
+        self,
+        max_age_hours: float | None = None,
+        max_sessions: int | None = None,
+        now: float | None = None,
+    ) -> list[str]:
+        """Remove expired and over-cap checkpoint dirs; returns the
+        removed paths. Defaults mirror the reference's session limits
+        (config.CHECKPOINT_MAX_AGE_HOURS / _MAX_SESSIONS)."""
+        import shutil
+
+        from . import config
+
+        if max_age_hours is None:
+            max_age_hours = config.CHECKPOINT_MAX_AGE_HOURS
+        if max_sessions is None:
+            max_sessions = config.CHECKPOINT_MAX_SESSIONS
+        now = time.time() if now is None else now
+        entries = self.list()
+        removed: list[str] = []
+        keep: list[dict] = []
+        for e in entries:
+            if (now - e["mtime"]) > max_age_hours * 3600.0:
+                shutil.rmtree(e["path"], ignore_errors=True)
+                removed.append(e["path"])
+            else:
+                keep.append(e)
+        for e in keep[max_sessions:]:  # newest-first: evict the tail
+            shutil.rmtree(e["path"], ignore_errors=True)
+            removed.append(e["path"])
+        return removed

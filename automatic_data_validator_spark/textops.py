@@ -453,7 +453,13 @@ def stem_text(col, mode: str = "stem") -> Column:
 
     Arrow-batched pandas UDF with a per-batch unique-token cache: real
     corpora repeat tokens heavily, so the Python stemmer runs once per
-    DISTINCT token per batch, not once per occurrence."""
+    DISTINCT token per batch, not once per occurrence.
+
+    CONTRACT: this is an explicit OPT-IN transform — the only
+    per-token-Python operator in the package. It must never be
+    composed into the hot validation/profile path (validate.py,
+    profile.py, rules.py reference it nowhere; pinned by
+    test_textops.test_stemmer_stays_out_of_hot_paths)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

@@ -207,3 +207,117 @@ def test_schema_drift_detects_structural_changes(spark):
     dropped = spark.createDataFrame([(1,)], "id long")
     kinds = {(d["column"], d["kind"]) for d in schema_drift(dropped, snap)}
     assert kinds == {("name", "removed"), ("score", "removed")}
+
+
+def test_apply_plan_single_projection_and_linear_build(spark):
+    """Round-2 directive #7: impute/cap/standardize/cast compose into
+    ONE select — plan application on a wide table stays linear (the
+    old per-column withColumn chain was quadratic in the analyzer)."""
+    import time
+
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+
+    import pyspark.sql.functions as F
+
+    n_cols = 500
+    wide = spark.range(100).select(
+        "id", *[(F.col("id") % (i + 2)).cast("int").alias(f"c{i}") for i in range(n_cols)]
+    )
+    plan = CorrectionPlan(
+        dedup_keys=["id"],
+        order_key="id",
+        imputations={f"c{i}": 1.5 for i in range(n_cols)},
+        caps={f"c{i}": (0.5, 3.5) for i in range(n_cols)},
+    )
+    t0 = time.perf_counter()
+    out = apply_plan(wide, plan)
+    out.schema  # force analysis
+    build_s = time.perf_counter() - t0
+    assert build_s < 10.0, build_s  # quadratic chain took minutes here
+    # values still correct: fractional impute upcasts, caps applied
+    row = out.orderBy("id").limit(1).collect()[0]
+    assert row["c0"] == 0.5  # id=0 -> 0 clipped to lower bound
+
+
+def test_apply_plan_matches_stepwise_semantics(spark):
+    """The fused projection must reproduce the exact step order:
+    impute -> cap -> standardize -> cast."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4],
+                "age": pd.array([10, None, 90, 20], dtype="Int64"),
+                "name": ["  alice s  ", None, "BOB", "carl"],
+            }
+        )
+    )
+    plan = CorrectionPlan(
+        dedup_keys=["k"],
+        order_key="k",
+        imputations={"age": 15.5, "name": "Unknown"},
+        caps={"age": (12.0, 60.0)},
+        standardize_columns=["name"],
+        casts={"age": "string"},
+    )
+    rows = {r["k"]: r for r in apply_plan(df, plan).collect()}
+    # 10 -> impute skip -> clipped to 12.0 -> "12.0"
+    assert rows[1]["age"] == "12.0"
+    # null -> 15.5 -> within caps -> "15.5"
+    assert rows[2]["age"] == "15.5"
+    assert rows[3]["age"] == "60.0"
+    assert rows[2]["name"] == "Unknown"
+    assert rows[1]["name"] == "Alice S"
+
+
+def test_mode_impute_survives_quoted_column_name(spark):
+    """Round-2 ADVICE: a column name containing a single quote must
+    still resolve its real mode (the old ''-doubling built a mangled
+    stack() label and silently imputed 'Unknown')."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.correct import build_plan
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"it's": ["x", "x", "y", None]})
+    )
+    plan = build_plan(df)
+    assert plan.imputations["it's"] == "x"
+
+
+def test_topk_values_survives_quoted_column_name(spark):
+    import pandas as pd
+
+    from automatic_data_validator_spark.profile import topk_values
+
+    df = spark.createDataFrame(pd.DataFrame({"o'brien": ["a", "a", "b"]}))
+    rows = topk_values(df, ["o'brien"], k=1).collect()
+    assert rows and rows[0]["col_name"] == "o'brien" and rows[0]["value"] == "a"
+
+
+def test_categorical_inconsistency_no_global_window(spark):
+    """Round-2 ADVICE: the group cap must not funnel all variant rows
+    through a single-partition global window."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.profile import categorical_inconsistency
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["A", "a", " a", "B", "b", "c", "C", "c "] * 50})
+    )
+    out = categorical_inconsistency(df, "v", max_groups=2)
+    rows = out.collect()
+    keys = {r["norm_key"] for r in rows}
+    assert keys == {"a", "c"}  # two largest groups
+    canon = {r["norm_key"]: r["value"] for r in rows if r["is_canonical"]}
+    assert set(canon) == {"a", "c"}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # no Window without partitioning spec: every windowspecdefinition
+    # must carry the norm_key partition key
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "norm_key" in spec, spec

@@ -112,3 +112,16 @@ def test_is_path_like_classification():
     assert is_path_like("relative/dir")
     assert not is_path_like("warehouse.db.documents")
     assert not is_path_like("documents")
+
+
+def test_csv_encoding_probe_catches_late_file_mojibake(spark, tmp_path):
+    """Round-2 directive #8: a clean first file must not mask a
+    latin-1 second file — the probe samples PER input file."""
+    d = tmp_path / "multi_enc"
+    d.mkdir()
+    (d / "a_clean.csv").write_text("name,qty\nalpha,1\nbeta,2\n", encoding="utf-8")
+    (d / "b_latin.csv").write_bytes(b"name,qty\ncaf\xe9,3\nna\xefve,4\n")
+    df = S.read_csv(spark, str(d))
+    names = {r["name"] for r in df.collect()}
+    assert "café" in names and "naïve" in names, names
+    assert not any("�" in n for n in names)

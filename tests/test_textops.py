@@ -148,3 +148,18 @@ def test_split_sentences_modes(spark):
     assert rx == ["First one", "Second one", "Third"]
     loc = df.select(split_sentences("text", mode="locale").alias("s")).collect()[0]["s"]
     assert len(loc) == 3 and loc[0].lower().startswith("first")
+
+
+def test_stemmer_stays_out_of_hot_paths():
+    """stem_text is per-distinct-token Python — an explicit opt-in
+    transform. No hot-path module may compose it (round-2 directive
+    #10)."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "automatic_data_validator_spark")
+    for mod in ("validate.py", "profile.py", "rules.py", "refcheck.py",
+                "dedup.py"):
+        with open(os.path.join(pkg, mod)) as f:
+            src = f.read()
+        assert "stem_text" not in src and "porter_stem" not in src, mod
