@@ -725,6 +725,36 @@ def q45_cosine_neardup(spark, sf):
     )
 
 
+def q46_correction_summary(spark, sf):
+    """Before/after correction summary (round-3 directive #4, reference
+    pipeline_generator.py:233-309): full-row dedup + fixed impute/cap
+    plan over the 4-column quality projection, then
+    correct.summary_report — shape delta, per-column null deltas,
+    duplicate-row delta, and the quality terms on both sides, every
+    numeric rounded half-up to 4dp for cross-engine hashing."""
+    from automatic_data_validator_spark.correct import (
+        CorrectionPlan,
+        apply_plan,
+        summary_report,
+    )
+
+    base = _quality_projection(spark, sf)
+    plan = CorrectionPlan(
+        dedup_keys=None,  # full-row dedup
+        imputations={"custkey_n": 12345.0},
+        caps={"o_totalprice": (1000.0, 300000.0)},
+    )
+    cleaned = apply_plan(base, plan)
+    rep = summary_report(base, cleaned, include_quality=True, exact=True)
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return rep.select(
+        "metric",
+        "column",
+        r4(F.col("before")).alias("before"),
+        r4(F.col("after")).alias("after"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -772,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_quality_score": q43_quality_score,
         "q44_mixed_type": q44_mixed_type,
         "q45_cosine_neardup": q45_cosine_neardup,
+        "q46_correction_summary": q46_correction_summary,
     }
 
 
@@ -784,6 +815,101 @@ _QUALITY_BASE_SQL = """
            o_orderpriority
     FROM orders
 """
+
+
+def _q46_side_sql(cte: str) -> str:
+    """Summary terms for one side of q46 (same structure as the q43
+    oracle, parameterized by the source CTE): n, distinct rows, null
+    counts, and the quality-score terms."""
+    return f"""
+      SELECT count(*) AS n,
+             (SELECT count(*) FROM (SELECT DISTINCT * FROM {cte})) AS n_distinct,
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_p,
+             sum(CASE WHEN custkey_n IS NULL THEN 1 ELSE 0 END) AS null_c,
+             sum(CASE WHEN status_mixed IS NULL THEN 1 ELSE 0 END) AS null_s,
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null_o,
+             quantile_cont(o_totalprice, 0.25) AS q1_p,
+             quantile_cont(o_totalprice, 0.75) AS q3_p,
+             avg(o_totalprice) AS mean_p,
+             stddev_pop(o_totalprice) AS sdp_p,
+             stddev_samp(o_totalprice) AS sds_p,
+             quantile_cont(custkey_n, 0.25) AS q1_c,
+             quantile_cont(custkey_n, 0.75) AS q3_c,
+             avg(custkey_n) AS mean_c,
+             stddev_pop(custkey_n) AS sdp_c,
+             stddev_samp(custkey_n) AS sds_c,
+             sum(CASE WHEN regexp_full_match(status_mixed, '[0-9]+') THEN 1 ELSE 0 END) AS dig_s,
+             sum(CASE WHEN status_mixed IS NOT NULL THEN 1 ELSE 0 END) AS nn_s,
+             sum(CASE WHEN regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) AS dig_o,
+             sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS nn_o
+      FROM {cte}
+    """
+
+
+def _q46_outlier_sql(cte: str, m: str) -> str:
+    return f"""
+      SELECT count(*) AS n_outlier_rows FROM {cte}, {m}
+      WHERE ((o_totalprice < q1_p - 1.5 * (q3_p - q1_p))
+             OR (o_totalprice > q3_p + 1.5 * (q3_p - q1_p))
+             OR (sds_p > 0 AND abs((o_totalprice - mean_p) / sdp_p) > 3.0))
+         OR ((custkey_n < q1_c - 1.5 * (q3_c - q1_c))
+             OR (custkey_n > q3_c + 1.5 * (q3_c - q1_c))
+             OR (sds_c > 0 AND abs((custkey_n - mean_c) / sdp_c) > 3.0))
+    """
+
+
+def _q46_terms_sql(m: str, o: str) -> str:
+    """(missing_pct, dup_pct, outlier_pct, n_issues, quality_score)."""
+    return f"""
+      SELECT 100.0 * (null_p + null_c + null_s + null_o) / (n * 4) AS missing_pct,
+             100.0 * (n - n_distinct) / n AS dup_pct,
+             100.0 * n_outlier_rows / n AS outlier_pct,
+             (CASE WHEN dig_s > 0 AND nn_s - dig_s > 0 THEN 1 ELSE 0 END
+              + CASE WHEN dig_o > 0 AND nn_o - dig_o > 0 THEN 1 ELSE 0 END) AS n_issues,
+             n, n_distinct, null_p, null_c, null_s, null_o
+      FROM {m}, {o}
+    """
+
+
+def _q46_oracle_sql() -> str:
+    r4 = lambda x: f"floor(({x}) * 10000 + 0.5) / 10000"  # noqa: E731
+    score = (
+        "GREATEST(100.0 - LEAST(missing_pct * 0.5, 20.0)"
+        " - LEAST(dup_pct * 0.3, 15.0)"
+        " - LEAST(outlier_pct * 0.2, 10.0)"
+        " - LEAST(n_issues * 5.0, 15.0), 0.0)"
+    )
+    rows = []
+    rows.append(f"SELECT 'rows' AS metric, '' AS \"column\", CAST(tb.n AS DOUBLE) AS before, CAST(ta.n AS DOUBLE) AS after FROM tb, ta")
+    rows.append("SELECT 'columns', '', 4.0, 4.0")
+    rows.append("SELECT 'duplicate_rows', '', CAST(tb.n - tb.n_distinct AS DOUBLE), CAST(ta.n - ta.n_distinct AS DOUBLE) FROM tb, ta")
+    for col, fld in (("o_totalprice", "null_p"), ("custkey_n", "null_c"),
+                     ("status_mixed", "null_s"), ("o_orderpriority", "null_o")):
+        rows.append(f"SELECT 'null_count', '{col}', CAST(tb.{fld} AS DOUBLE), CAST(ta.{fld} AS DOUBLE) FROM tb, ta")
+    for metric in ("missing_pct", "dup_pct", "outlier_pct"):
+        rows.append(f"SELECT '{metric}', '', {r4(f'tb.{metric}')}, {r4(f'ta.{metric}')} FROM tb, ta")
+    rows.append("SELECT 'n_issues', '', CAST(tb.n_issues AS DOUBLE), CAST(ta.n_issues AS DOUBLE) FROM tb, ta")
+    rows.append(
+        f"SELECT 'quality_score', '', {r4(score.replace('missing_pct', 'tb.missing_pct').replace('dup_pct', 'tb.dup_pct').replace('outlier_pct', 'tb.outlier_pct').replace('n_issues', 'tb.n_issues'))}, "
+        f"{r4(score.replace('missing_pct', 'ta.missing_pct').replace('dup_pct', 'ta.dup_pct').replace('outlier_pct', 'ta.outlier_pct').replace('n_issues', 'ta.n_issues'))} FROM tb, ta"
+    )
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+      WITH base AS ({_QUALITY_BASE_SQL}),
+      cleaned AS (
+        SELECT LEAST(GREATEST(o_totalprice, 1000.0), 300000.0) AS o_totalprice,
+               COALESCE(custkey_n, 12345) AS custkey_n,
+               status_mixed, o_orderpriority
+        FROM (SELECT DISTINCT * FROM base)
+      ),
+      mb AS ({_q46_side_sql('base')}),
+      ma AS ({_q46_side_sql('cleaned')}),
+      ob AS ({_q46_outlier_sql('base', 'mb')}),
+      oa AS ({_q46_outlier_sql('cleaned', 'ma')}),
+      tb AS ({_q46_terms_sql('mb', 'ob')}),
+      ta AS ({_q46_terms_sql('ma', 'oa')})
+      {union}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1256,4 +1382,5 @@ def oracle_sql() -> dict[str, str]:
                     AND sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_full_match(o_orderpriority, '[0-9]+') THEN 1 ELSE 0 END) > 0) AS is_mixed
             FROM base
         """,
+        "q46_correction_summary": _q46_oracle_sql(),
     }

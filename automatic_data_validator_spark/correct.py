@@ -213,3 +213,103 @@ def clean(
     plan = build_plan(df, dedup_keys=dedup_keys, order_key=order_key,
                       standardize=standardize, casts=casts)
     return apply_plan(df, plan), plan
+
+
+def summary_report(
+    original: DataFrame,
+    cleaned: DataFrame,
+    include_quality: bool = True,
+    exact: bool = True,
+) -> DataFrame:
+    """Before/after correction summary (reference
+    pipeline_generator.py:233-309 ``generate_summary_report`` +
+    text_processor.py:645-718 change report): shape delta, per-column
+    null deltas, duplicate-row delta, and the quality terms
+    before/after, as a long-format DataFrame
+    ``(metric, column, before, after)``.
+
+    Cost model: ONE fused aggregation per side for row count +
+    per-column null counts; the exact duplicate count is one
+    distinct-count job per side (``exact=False`` swaps in the
+    approx-distinct row-hash, the 10^12-row path); quality terms reuse
+    profile.quality_report. Columns dropped by the correction simply
+    have no after-side null row (the shape delta carries the drop).
+    """
+    spark = original.sparkSession
+
+    def side(df: DataFrame):
+        exprs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}")
+            for i, c in enumerate(df.columns)
+        ]
+        row = df.agg(*exprs).collect()[0]
+        n = int(row["_n"] or 0)
+        nulls = {c: int(row[f"_null_{i}"] or 0) for i, c in enumerate(df.columns)}
+        if exact:
+            dup = n - df.distinct().count()
+        else:
+            dup = max(
+                0,
+                n
+                - int(
+                    df.agg(
+                        F.approx_count_distinct(F.xxhash64(*df.columns), 0.005)
+                    ).collect()[0][0]
+                ),
+            )
+        return n, nulls, dup
+
+    n_b, nulls_b, dup_b = side(original)
+    n_a, nulls_a, dup_a = side(cleaned)
+    rows: list[tuple[str, str, float | None, float | None]] = [
+        ("rows", "", float(n_b), float(n_a)),
+        ("columns", "", float(len(original.columns)), float(len(cleaned.columns))),
+        ("duplicate_rows", "", float(dup_b), float(dup_a)),
+    ]
+    for c in original.columns:
+        rows.append(
+            (
+                "null_count",
+                c,
+                float(nulls_b[c]),
+                float(nulls_a[c]) if c in nulls_a else None,
+            )
+        )
+    if include_quality:
+        from .profile import quality_report
+
+        qb = quality_report(original, exact=exact)
+        qa = quality_report(cleaned, exact=exact)
+
+        def term(q, *path):
+            v = q
+            for p in path:
+                v = v[p]
+            return float(v)
+
+        for metric, path in (
+            ("missing_pct", ("missing_values", "missing_percentage")),
+            ("dup_pct", ("duplicates", "duplicate_percentage")),
+            ("outlier_pct", ("outliers", "outlier_percentage")),
+            ("quality_score", ("quality_score",)),
+        ):
+            rows.append((metric, "", term(qb, *path), term(qa, *path)))
+        rows.append(
+            (
+                "n_issues",
+                "",
+                float(len(qb["data_consistency"]["issues"])),
+                float(len(qa["data_consistency"]["issues"])),
+            )
+        )
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("metric", _T.StringType(), False),
+            _T.StructField("column", _T.StringType(), False),
+            _T.StructField("before", _T.DoubleType(), True),
+            _T.StructField("after", _T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -185,3 +185,55 @@ def test_emitted_pipeline_survives_quote_heavy_rules(spark):
     )
     compile(script, "advs_pipeline.py", "exec")
     assert "json.loads('" in script or 'json.loads("' in script
+
+
+def test_emitted_package_selfcheck_suite_passes(tmp_path):
+    """Round-3 directives #3/#5: create_package writes runner + the
+    emitted pytest suite + README + requirements + manifest + the
+    engine zip; the EMITTED suite must pass in a fresh process whose
+    PYTHONPATH contains ONLY the packaged advs.zip (validating the
+    spark-submit --py-files layout end to end)."""
+    import os
+    import subprocess
+    import sys
+
+    from automatic_data_validator_spark.correct import CorrectionPlan
+    from automatic_data_validator_spark.pipeline import create_package
+    from automatic_data_validator_spark.rules import Rule
+
+    rules = [
+        Rule("not_null_id", "not_null", column="id"),
+        Rule("age_digits", "regex", column="age", params={"pattern": r"^\d+$"}),
+    ]
+    plan = CorrectionPlan(
+        imputations={"name": "Unknown", "salary": 65000.0},
+        casts={"age": "int"},
+    )
+    pkg = str(tmp_path / "pkg")
+    paths = create_package(rules, plan, out_dir=pkg)
+    for name in ("advs_pipeline.py", "test_advs_pipeline.py", "README.md",
+                 "requirements.txt", "manifest.json", "advs.zip"):
+        assert os.path.exists(paths[name]), name
+    readme = open(paths["README.md"]).read()
+    assert "spark-submit --py-files advs.zip" in readme
+    assert "not_null_id" in readme and "correction plan" in readme.lower()
+
+    # engine importable from the zip ALONE (bare-cluster layout)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import automatic_data_validator_spark.validate as v; print('zip-ok')"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": paths["advs.zip"]},
+        cwd=pkg, timeout=120,
+    )
+    assert probe.returncode == 0 and "zip-ok" in probe.stdout, probe.stderr[-500:]
+
+    # the emitted self-check suite runs green in a fresh process/JVM
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", paths["test_advs_pipeline.py"], "-x", "-q"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": paths["advs.zip"]},
+        cwd=pkg, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-1000:]
+    assert "passed" in proc.stdout
