@@ -483,3 +483,98 @@ def stem_text(col, mode: str = "stem") -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _stem(c)
+
+
+def cleaning_suggestions(
+    df: DataFrame, text_col: str = "text", simple: bool = False
+) -> "list[dict] | list[str]":
+    """Ordered cleaning suggestions composed from corpus-level signals
+    (reference text_processor.py:582-643 ``get_cleaning_suggestions``;
+    ``simple=True`` mirrors the plain-string variant at :184-216).
+
+    ONE fused aggregation computes every trigger share; the reference
+    analyzes a single text eagerly, so its per-text booleans become
+    corpus shares here (present = share > 0; the special-character
+    trigger keeps the reference's 0.1 ratio threshold as a corpus
+    mean). Priority order and wording match the reference so emitted
+    reports line up."""
+    c = F.col(text_col)
+    stripped = F.length(F.regexp_replace(c, config.TEXT_PATTERNS["special_chars"], ""))
+    ln = F.length(c)
+    row = df.agg(
+        F.avg(c.rlike(config.TEXT_PATTERNS["html_tag"]).cast("double")).alias("html"),
+        F.avg(c.rlike(config.TEXT_PATTERNS["url"]).cast("double")).alias("url"),
+        F.avg(c.rlike(config.TEXT_PATTERNS["email"]).cast("double")).alias("email"),
+        F.avg(
+            F.when(ln > 0, (ln - stripped).cast("double") / ln).otherwise(F.lit(0.0))
+        ).alias("special_ratio"),
+        F.avg(c.rlike(r"\s{2,}").cast("double")).alias("ws"),
+        F.avg(has_encoding_artifacts(c).cast("double")).alias("enc"),
+        F.avg(is_english(c).cast("double")).alias("english"),
+    ).collect()[0]
+
+    def present(key: str) -> bool:
+        return (row[key] or 0.0) > 0.0
+
+    out: list[dict] = []
+    if present("html"):
+        out.append({
+            "type": "html_removal", "priority": "high",
+            "description": "Remove HTML tags from text",
+            "template": "basic_cleaning",
+            "impact": "Removes formatting artifacts and improves text quality",
+        })
+    if present("url"):
+        out.append({
+            "type": "url_removal", "priority": "medium",
+            "description": "Remove or extract URLs",
+            "template": "basic_cleaning",
+            "impact": "Reduces noise and focuses on actual content",
+        })
+    if present("email"):
+        out.append({
+            "type": "email_removal", "priority": "medium",
+            "description": "Remove or extract email addresses",
+            "template": "basic_cleaning",
+            "impact": "Reduces noise and protects PII",
+        })
+    if (row["special_ratio"] or 0.0) > 0.1:
+        out.append({
+            "type": "special_char_cleanup", "priority": "medium",
+            "description": "Clean excessive special characters",
+            "template": "basic_cleaning",
+            "impact": "Reduces noise and focuses on actual content",
+        })
+    if present("enc"):
+        out.append({
+            "type": "encoding_fix", "priority": "high",
+            "description": "Fix text encoding issues",
+            "template": "document_processing",
+            "impact": "Improves text readability and processing accuracy",
+        })
+    if (row["english"] or 0.0) > 0.5:
+        out.append({
+            "type": "nlp_processing", "priority": "medium",
+            "description": "Apply NLP preprocessing (tokenization, "
+                           "lemmatization, stop word removal)",
+            "template": "advanced_nlp_cleaning",
+            "impact": "Prepares text for machine learning and analysis",
+        })
+    if present("ws"):
+        out.append({
+            "type": "whitespace_normalization", "priority": "low",
+            "description": "Normalize whitespace and line breaks",
+            "template": "document_processing",
+            "impact": "Improves text consistency and readability",
+        })
+    prio = {"high": 3, "medium": 2, "low": 1}
+    out.sort(key=lambda s: prio[s["priority"]], reverse=True)  # stable
+    if simple:
+        # the plain-string variant appends its four unconditional steps
+        return [s["description"] for s in out] + [
+            "Convert to lowercase",
+            "Remove stop words",
+            "Apply lemmatization or stemming",
+            "Tokenize text",
+        ]
+    return out

@@ -163,3 +163,39 @@ def test_stemmer_stays_out_of_hot_paths():
         with open(os.path.join(pkg, mod)) as f:
             src = f.read()
         assert "stem_text" not in src and "porter_stem" not in src, mod
+
+
+def test_cleaning_suggestions_compose_and_order(spark):
+    """VERDICT r2 missing #4: suggestions composed from corpus signals,
+    priority-ordered (high > medium > low), reference wording."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.textops import cleaning_suggestions
+
+    dirty = spark.createDataFrame(pd.DataFrame({"text": [
+        "see <b>bold</b> text with the and of in it",
+        "go to https://example.com for the thing and stuff",
+        "normal english text with the a of and in is are was",
+        "bad bytes â€™ here the and of",
+        "double  space   text the of and",
+    ]}))
+    out = cleaning_suggestions(dirty)
+    types = [s["type"] for s in out]
+    assert "html_removal" in types and "url_removal" in types
+    assert "encoding_fix" in types and "whitespace_normalization" in types
+    # priority ordering: all high before any medium before any low
+    prios = [s["priority"] for s in out]
+    order = {"high": 3, "medium": 2, "low": 1}
+    assert prios == sorted(prios, key=lambda p: -order[p])
+    assert prios[0] == "high" and prios[-1] == "low"
+
+    clean = spark.createDataFrame(pd.DataFrame({"text": [
+        "plain english words about the data and the engine",
+        "more of the same simple text in english it is",
+    ]}))
+    out2 = cleaning_suggestions(clean)
+    assert [s["type"] for s in out2] == ["nlp_processing"]
+
+    simple = cleaning_suggestions(dirty, simple=True)
+    assert simple[-4:] == ["Convert to lowercase", "Remove stop words",
+                           "Apply lemmatization or stemming", "Tokenize text"]
