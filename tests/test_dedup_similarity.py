@@ -458,3 +458,30 @@ def test_lsh_duplicates_same_pairs_both_impls(spark):
         ).collect()
     }
     assert a == e and a
+
+
+def test_arrow_signatures_survive_hof_heavy_session(spark, docs):
+    """Regression pin for a Spark 4.1 quirk: after unrelated HOF-heavy
+    plans have been analyzed/cached in the session (the docs fixture),
+    Python-UDF extraction intermittently fails for UDFs whose INPUT
+    expression carries nested/captured lambda variables ("Cannot
+    generate code for expression"). The arrow signature paths use
+    flat/trivial inputs by design — this test runs them exactly in the
+    poisoned ordering that used to crash."""
+    import pandas as pd
+
+    docs.count()  # ensure the nested-lambda synth plan is live + cached
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(4), "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely unrelated text about engines",
+        ]})
+    )
+    sigs = df.select(D.minhash_signature("text", 32).alias("s")).collect()
+    assert all(len(r["s"]) == 32 for r in sigs)
+    pairs = D.minhash_lsh_duplicates(df, "id", "text", num_hashes=32, bands=16)
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    sh = df.select(D.simhash("text").alias("h")).collect()
+    assert all(r["h"] is not None for r in sh)
