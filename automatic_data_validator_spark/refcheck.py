@@ -23,6 +23,17 @@ def distinct_refs(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     Dedups (partition_id, media_ref) BEFORE the join shuffle — at
     10^12 docs the distinct refs per partition are orders of magnitude
     fewer than span rows.
+
+    The refs come from DIRECT nested-field extraction
+    (``spans.media_ref`` = GetArrayStructFields) + array_compact, NOT a
+    transform lambda: Catalyst's nested-schema pruning sees through the
+    former but not through HOF lambdas, so this formulation reads ONLY
+    the media_ref subfield from parquet (ReadSchema
+    ``spans:array<struct<media_ref:string>>``, pinned by
+    test_referential_scan_prunes_to_media_ref) — at 10^12 docs with
+    text-dominant spans that is ~10% of the former scan's bytes.
+    array_compact(x) ≡ filter(x, isNotNull) with order preserved, so
+    violation rows are unchanged (one per doc × distinct ref).
     """
     return (
         df.select(
@@ -32,10 +43,7 @@ def distinct_refs(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             # emits it once (also keeps violation rows one-per-doc×ref)
             F.explode(
                 F.array_distinct(
-                    F.filter(
-                        F.transform(F.col(spans_col), lambda s: s.media_ref),
-                        lambda r: r.isNotNull(),
-                    )
+                    F.array_compact(F.col(f"{spans_col}.media_ref"))
                 )
             ).alias("media_ref"),
         )

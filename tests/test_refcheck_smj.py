@@ -57,3 +57,30 @@ def test_auto_snapshot_invalidates_checkpoint(spark, tmp_path):
                         with_profile=False)
     n2 = r2.verdicts.agg(F.sum("row_count")).collect()[0][0]
     assert n1 != n2  # row counts reflect each input, not the cached one
+
+
+def test_referential_scan_prunes_to_media_ref(spark, tmp_path):
+    """Nested-schema pruning must reach the parquet reader: the
+    referential check reads ONLY spans.media_ref (not the text
+    payload) — at 10^12 docs with text-dominant spans the difference
+    is ~10x the scanned bytes (round-3 plan audit)."""
+    import re
+
+    from automatic_data_validator_spark.synth import (
+        make_documents,
+        make_media_catalog,
+    )
+
+    path = str(tmp_path / "prune_docs")
+    make_documents(spark, 5_000, n_media=300, seed=9).write.parquet(path)
+    docs = spark.read.parquet(path)
+    cat = make_media_catalog(spark, 300, seed=9)
+    _v, viol = referential_check(docs, cat)
+    viol.count()
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    viol.unpersist()
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    fact = [s for s in schemas if "spans" in s]
+    assert fact, schemas
+    for s in fact:
+        assert "media_ref" in s and "text" not in s, s
