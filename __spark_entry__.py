@@ -755,6 +755,36 @@ def q46_correction_summary(spark, sf):
     )
 
 
+def q47_partitioned_moments(spark, sf):
+    """The fused profile's Pébay moment merge (per-partition partials
+    shifted to the global mean, profile.finalize_partial_profile) must
+    reproduce the exact global statistics — oracle-checked against
+    two-pass central moments in SQL. repartition(16) forces a real
+    multi-partition merge."""
+    from automatic_data_validator_spark.profile import profile_partitioned
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = _t(spark, sf, "lineitem").repartition(16)
+    p = profile_partitioned(li, columns=cols, with_quantiles=False)
+    rows = []
+    for c in sorted(cols):
+        st = p.stats[c]
+        rows.append(
+            (
+                c,
+                _round_half_up(st["mean"], 3),
+                _round_half_up(st["std"], 3),
+                _round_half_up(st["skewness"], 3),
+                _round_half_up(st["kurtosis"], 3),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, mean double, std double, "
+        "skewness double, kurtosis double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -803,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_mixed_type": q44_mixed_type,
         "q45_cosine_neardup": q45_cosine_neardup,
         "q46_correction_summary": q46_correction_summary,
+        "q47_partitioned_moments": q47_partitioned_moments,
     }
 
 
@@ -910,6 +941,33 @@ def _q46_oracle_sql() -> str:
       ta AS ({_q46_terms_sql('ma', 'oa')})
       {union}
     """
+
+
+def _q47_oracle_sql() -> str:
+    def r3(x: str) -> str:
+        return f"floor(({x}) * 1000 + 0.5) / 1000"
+
+    parts = []
+    for c in sorted(["l_quantity", "l_extendedprice", "l_discount"]):
+        mu = f"(SELECT avg({c}) AS mu FROM lineitem)"
+        std = (
+            f"(SELECT sqrt(sum(pow({c} - m.mu, 2)) / (count(*) - 1)) "
+            f"FROM lineitem, {mu} m)"
+        )
+        skew = (
+            f"(SELECT avg(pow({c} - m.mu, 3)) / pow(avg(pow({c} - m.mu, 2)), 1.5) "
+            f"FROM lineitem, {mu} m)"
+        )
+        kurt = (
+            f"(SELECT avg(pow({c} - m.mu, 4)) / pow(avg(pow({c} - m.mu, 2)), 2) - 3.0 "
+            f"FROM lineitem, {mu} m)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"{r3(f'(SELECT avg({c}) FROM lineitem)')} AS mean, "
+            f"{r3(std)} AS std, {r3(skew)} AS skewness, {r3(kurt)} AS kurtosis"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1383,4 +1441,5 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "q46_correction_summary": _q46_oracle_sql(),
+        "q47_partitioned_moments": _q47_oracle_sql(),
     }

@@ -22,6 +22,14 @@ Design principles (see SURVEY.md §4.2):
 __version__ = "0.1.0"
 
 from . import config  # noqa: F401
-from .profile import mixed_type_report, profile, quality_report  # noqa: F401
+from .correct import CorrectionPlan, apply_plan, build_plan, clean, summary_report  # noqa: F401
+from .pipeline import create_package, emit_pipeline, emit_tests  # noqa: F401
+from .profile import (  # noqa: F401
+    mixed_type_report,
+    profile,
+    profile_partitioned,
+    quality_report,
+)
 from .rules import Rule, distributed_verdicts, evaluate_row_rules  # noqa: F401
+from .state import Checkpointer, CheckpointRegistry  # noqa: F401
 from .validate import ValidationResult, canonical_violations, run_validation  # noqa: F401

@@ -137,3 +137,53 @@ def test_normalize_spans_property_sweep(spark):
             if expected is not None:
                 expected = expected.strip()
             assert o["text"] == expected, (i, o["text"], expected)
+
+
+# --- arrow minhash kernel: adversarial bit-equality fuzz (round 3) ---------
+
+_texty = st.builds(
+    lambda base, long_words: base + (" " + " ".join(long_words) if long_words else ""),
+    st.text(
+        # every Java \s class member + multi-byte UTF-8 code points
+        alphabet=st.sampled_from(list("ab xyz\t\n\r\x0b\x0c") + ["é", "ß", "世", "🎉"]),
+        min_size=0,
+        max_size=80,
+    ),
+    # occasionally append >32-byte words so shingles exercise the
+    # 32-byte stripe loop of the vectorized XXH64
+    st.lists(
+        st.sampled_from(["longword" * 6, "é" * 40, "mixed🎉" * 8]),
+        min_size=0,
+        max_size=3,
+    ),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.one_of(st.none(), _texty), min_size=1, max_size=24))
+def test_minhash_arrow_bit_equals_expr_fuzz(spark_sess, texts):
+    """The numpy kernel (byte tokenization + vectorized XXH64 with
+    stripe/long/int/byte tails + seed mixes) must be BIT-IDENTICAL to
+    the Catalyst expression path on adversarial inputs: whitespace-run
+    edges, leading/trailing separators, multi-byte UTF-8, empty and
+    null texts, and >32-byte shingles that exercise the 32-byte stripe
+    loop."""
+    import pandas as pd
+
+    from automatic_data_validator_spark import dedup as D
+
+    df = spark_sess.createDataFrame(
+        pd.DataFrame({"id": range(len(texts)), "text": pd.array(texts, dtype=object)})
+    )
+    rows = df.select(
+        "id",
+        D.minhash_signature("text", num_hashes=8, impl="arrow").alias("a"),
+        D.minhash_signature("text", num_hashes=8, impl="expr").alias("e"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["e"], (texts[r["id"]], r["a"], r["e"])
+
+
+@pytest.fixture(scope="module")
+def spark_sess(spark):
+    return spark
