@@ -211,12 +211,16 @@ def q09_categorical_detection(spark, sf):
 
 def q10_topk_brand(spark, sf):
     p = _t(spark, sf, "part")
+    # orderBy+limit FIRST (TakeOrderedAndProject: partial top-K per
+    # partition, no single-task global sort); the rank window then
+    # runs over 5 rows
     w = Window.orderBy(F.desc("cnt"), F.asc("p_brand"))
     return (
         p.groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p_brand"))
+        .limit(5)
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
     )
 
 
@@ -351,10 +355,12 @@ def q23_unique_key_violations(spark, sf):
 
     ev = _t(spark, sf, "events")
     dups = duplicate_key_counts(ev, "user_id")
+    # orderBy+limit first (TakeOrderedAndProject), rank over 10 rows
     w = Window.orderBy(F.desc("dup_count"), F.asc("user_id"))
     return (
-        dups.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        dups.orderBy(F.desc("dup_count"), F.asc("user_id"))
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w))
         .select("user_id", F.col("dup_count").alias("cnt"), "rnk")
     )
 
@@ -717,10 +723,13 @@ def q45_cosine_neardup(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     pairs = cosine_neardup_pairs(emb, threshold=-1.0)
+    # orderBy+limit first: TakeOrderedAndProject keeps 20 rows per
+    # partition instead of sorting every pair through one window task
     w = Window.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        pairs.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w))
         .select("rnk", "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
 

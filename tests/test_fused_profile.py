@@ -211,3 +211,43 @@ def test_fused_leaves_no_cache_entries(spark, docs, catalog):
     n = jsc.getPersistentRDDs().size()
     # docs fixture + the two small persisted violation frames at most
     assert n <= 3, n
+
+
+def test_fused_run_with_numeric_columns_adds_quantile_pass(spark):
+    """Generic tables with numeric columns go through the fused scan
+    PLUS the column-pruned quantile pass; metrics must still match the
+    classic profile."""
+    import pyspark.sql.functions as F2
+
+    from automatic_data_validator_spark import rules as R
+
+    df = spark.range(0, 20_000, 1, 8).select(
+        F2.concat(F2.lit("k"), F2.col("id")).alias("key"),
+        (F2.col("id") % 97).cast("double").alias("val"),
+        F2.when(F2.col("id") % 11 == 0, None)
+        .otherwise(F2.col("id") % 5)
+        .cast("int")
+        .alias("cat"),
+    )
+    rules = [
+        R.Rule("nn_key", "not_null", column="key"),
+        R.Rule("val_range", "range", column="val", params={"min": 0, "max": 100}),
+    ]
+    fused = run_validation(spark, df, rule_set=rules, key_column="key",
+                           check_uniqueness=False, with_profile=True)
+    classic = run_validation(spark, df, rule_set=rules, key_column="key",
+                             check_uniqueness=False, with_profile=True,
+                             fused_profile=False)
+    fm = {(r["column"], r["metric"]): r["value"] for r in fused.metrics.collect()}
+    cm = {(r["column"], r["metric"]): r["value"] for r in classic.metrics.collect()}
+    assert set(fm) == set(cm)
+    # quantiles present and matching (the pruned extra pass ran)
+    for c in ("val", "cat"):
+        for m in ("q1", "median", "q3"):
+            assert (c, m) in fm
+            assert _close(fm[(c, m)], cm[(c, m)], rtol=0.05), (c, m)
+    for k, v in cm.items():
+        rtol = 0.2 if k[1] == "distinct_count" else (
+            0.05 if k[1] in ("q1", "median", "q3") else 1e-6
+        )
+        assert _close(fm[k], v, rtol=rtol), (k, v, fm[k])
