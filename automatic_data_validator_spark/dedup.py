@@ -21,6 +21,8 @@ path).
 from __future__ import annotations
 
 import pyarrow as pa  # module-level: arrow_udf resolves type hints here
+from typing import Any
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,7 +63,7 @@ def uniqueness_check(
     df: DataFrame,
     key: str = "doc_id",
     rule_id: str = "unique_doc_id",
-    partition_totals: "dict[int, int] | DataFrame | None" = None,
+    partition_totals: "dict[int, int] | DataFrame | Any | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Verdicts + violation rows for key uniqueness, attributed to the
     *input* partitions holding the duplicate rows — in ONE scan of the
@@ -129,6 +131,17 @@ def uniqueness_check(
             distributed_verdicts(partition_totals, violations, rule_id),
             violations,
         )
+    # materialize this phase's own (expensive) work FIRST; totals from
+    # a concurrently-running row-rules phase are resolved only when the
+    # verdict rows are assembled — callers may pass a callable so this
+    # phase's scan overlaps the row-rules scan instead of serializing
+    # behind it (round-3: phase-overlap wall-clock win)
+    viol_by_pid = {
+        r["partition_id"]: r["cnt"]
+        for r in violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    if callable(partition_totals):
+        partition_totals = partition_totals()
     if partition_totals is None:
         # standalone mode: no row-rules scan to reuse — one extra
         # key-column-pruned pass for the totals
@@ -141,10 +154,6 @@ def uniqueness_check(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
-    viol_by_pid = {
-        r["partition_id"]: r["cnt"]
-        for r in violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
     spark = df.sparkSession
     rows = [
         (int(pid), rule_id, int(total), int(viol_by_pid.get(pid, 0)),

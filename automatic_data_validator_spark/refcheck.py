@@ -11,6 +11,8 @@ per-partition attribution rides the fact rows' spark_partition_id.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,7 +59,7 @@ def referential_check(
     rule_id: str = "referential_media_ref",
     catalog_rows: int | None = None,
     broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
-    partition_totals: "dict[int, int] | DataFrame | None" = None,
+    partition_totals: "dict[int, int] | DataFrame | Any | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (verdicts, violations) in rules VERDICT/VIOLATION schema.
 
@@ -95,6 +97,19 @@ def referential_check(
             ),
             violations,
         )
+    # this phase's scan/join materializes FIRST; a callable totals
+    # source (the concurrent row-rules phase) resolves only at verdict
+    # assembly, so the two phases' scans overlap (round 3)
+    viol_by_pid = {
+        r["partition_id"]: r["cnt"]
+        for r in dangling.select("partition_id", "doc_id")
+        .distinct()
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    if callable(partition_totals):
+        partition_totals = partition_totals()
     if partition_totals is None:
         partition_totals = {
             r["partition_id"]: r["cnt"]
@@ -105,14 +120,6 @@ def referential_check(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
-    viol_by_pid = {
-        r["partition_id"]: r["cnt"]
-        for r in dangling.select("partition_id", "doc_id")
-        .distinct()
-        .groupBy("partition_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
     from .rules import VERDICT_SCHEMA
 
     rows = [

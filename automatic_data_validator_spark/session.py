@@ -69,6 +69,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # status-store stage retention: the scan-count guard reads
+        # cumulative per-stage input metrics; default eviction (1000)
+        # would silently shrink deltas in long sessions
+        .config("spark.ui.retainedStages", "100000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Throughput GC: at high local thread counts the default G1
         # collector serializes allocation-heavy operators (nested-array

@@ -191,38 +191,50 @@ def run_validation(
         and not (ckpt and ckpt.is_done("row_rules"))
     )
 
+    fused_plan = (
+        build_partial_profile(documents, detect_formats=False)
+        if use_fused
+        else None
+    )
+
     def row_rules_fused():
-        plan = build_partial_profile(documents, detect_formats=False)
         preds = [(r.rule_id, R.compile_rule(r, documents)) for r in row_rules]
         per_part = R.per_partition_rule_aggregate(
-            documents, preds, plan.exprs
+            documents, preds, fused_plan.exprs
         ).persist()
         fused_state["per_part"] = per_part
-        fused_state["plan"] = plan
+        fused_state["plan"] = fused_plan
         vdf = R.verdicts_from_per_partition(per_part, [rid for rid, _ in preds])
         return vdf, R.violation_rows(documents, preds, key_column)
 
-    if row_rules:
+    # All phases are independent reads of the same input: submit them
+    # CONCURRENTLY (Spark job submission is thread-safe). Sequential
+    # phases leave executor slots idle during each phase's small final
+    # stages; overlapping them keeps the cluster saturated — measured
+    # wall-time win grows with core count. The uniqueness/referential
+    # phases need the row-rules scan's per-partition totals ONLY to
+    # assemble their verdict rows, never for their violation plans, so
+    # in the default (non-spill) mode they receive a BLOCKING CALLABLE
+    # resolved by the row-rules phase and all three scans overlap
+    # (round 3; previously row_rules ran to completion first). Spill
+    # mode keeps the sequential order: its totals are a DataFrame
+    # derived from the completed row-rules phase.
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    totals_future: Future = Future()
+    rr_vdf = None
+    if row_rules and spill:
         rr_vdf = run_phase(
             "row_rules",
             row_rules_fused
             if use_fused
             else lambda: R.evaluate_row_rules(documents, row_rules, key_column),
         )
-        # per-partition row totals from the row-rules scan — reused by
-        # the uniqueness/referential phases (same parquet scan => same
-        # spark_partition_id assignment), saving one full pass each
-        if spill:
-            partition_totals = rr_vdf.filter(
-                F.col("rule_id") == row_rules[0].rule_id
-            ).select("partition_id", "row_count")
-        else:
-            partition_totals = {
-                int(r["partition_id"]): int(r["row_count"])
-                for r in rr_vdf.filter(
-                    F.col("rule_id") == row_rules[0].rule_id
-                ).collect()
-            }
+        partition_totals = rr_vdf.filter(
+            F.col("rule_id") == row_rules[0].rule_id
+        ).select("partition_id", "row_count")
+    elif row_rules:
+        partition_totals = totals_future.result  # blocking callable
     elif spill:
         # no row-rules pass to reuse: build the totals distributed
         partition_totals = (
@@ -231,12 +243,27 @@ def run_validation(
             .agg(F.count(F.lit(1)).alias("row_count"))
         )
 
-    # The remaining phases are independent reads of the same input:
-    # submit them CONCURRENTLY (Spark job submission is thread-safe).
-    # Sequential phases leave executor slots idle during each phase's
-    # small final stages; overlapping them keeps the cluster saturated
-    # — measured wall-time win grows with core count.
-    from concurrent.futures import ThreadPoolExecutor
+    def row_rules_task():
+        """Pool task: run the row-rules phase and publish its totals."""
+        try:
+            vdf = run_phase(
+                "row_rules",
+                row_rules_fused
+                if use_fused
+                else lambda: R.evaluate_row_rules(documents, row_rules, key_column),
+            )
+            totals_future.set_result(
+                {
+                    int(r["partition_id"]): int(r["row_count"])
+                    for r in vdf.filter(
+                        F.col("rule_id") == row_rules[0].rule_id
+                    ).collect()
+                }
+            )
+            return vdf
+        except BaseException as e:
+            totals_future.set_exception(e)
+            raise
 
     tasks: list[tuple[str, Any]] = []
     if check_uniqueness or any(r.kind == "unique_key" for r in rule_set):
@@ -287,21 +314,25 @@ def run_validation(
     metrics = None
     metrics_future = None
     quantile_future = None
-    with ThreadPoolExecutor(max_workers=max(len(tasks) + 2, 1)) as pool:
+    with ThreadPoolExecutor(max_workers=max(len(tasks) + 3, 2)) as pool:
+        rr_future = (
+            pool.submit(row_rules_task) if row_rules and not spill else None
+        )
         if with_profile:
             if ckpt and ckpt.is_done("profile"):
                 # resume: read the checkpointed metrics back instead of
                 # re-running the full profile scan
                 metrics_future = None
                 metrics = ckpt.read(spark, "profile", "metrics")
-            elif fused_state:
-                # partials already materialized by the row_rules phase;
-                # only the (column-pruned) quantile pass reads the input
-                if fused_state["plan"].quantile_cols:
+            elif use_fused:
+                # partials ride the (possibly still running) row_rules
+                # scan; only the column-pruned quantile pass reads the
+                # input again, and it can start immediately
+                if fused_plan.quantile_cols:
                     quantile_future = pool.submit(
                         profile_quantiles,
                         documents,
-                        fused_state["plan"].quantile_cols,
+                        fused_plan.quantile_cols,
                     )
             else:
                 # date-format probing is for string business columns,
@@ -312,6 +343,8 @@ def run_validation(
         phase_futures = [
             (name, pool.submit(run_phase, name, fn)) for name, fn in tasks
         ]
+        if rr_future is not None:
+            rr_future.result()
         for _name, fut in phase_futures:
             fut.result()
         if fused_state and with_profile and metrics is None:
