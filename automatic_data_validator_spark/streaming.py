@@ -121,3 +121,35 @@ def windowed_quality(
             F.sum((F.trim(F.col(text_col)) == "").cast("long")).alias("n_empty"),
         )
     )
+
+
+def referential_stream(
+    stream_df: DataFrame,
+    catalog: DataFrame,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Streaming referential check: dangling media_ref rows as a
+    STREAMING DataFrame, via a stream-static left-anti join against the
+    (batch) catalog — completing the fourth check family for streams
+    (rules/foreachBatch, cross-batch uniqueness, windowed quality,
+    referential).
+
+    Structured Streaming re-plans the static side per micro-batch, so a
+    catalog refreshed in place is picked up without restarting the
+    query. Same pruning-friendly extraction as the batch path
+    (refcheck.distinct_refs): only spans.media_ref is read from the
+    source. Returns (doc_id, media_ref) dangling rows; attach any sink
+    (violations land one row per doc x distinct dangling ref, matching
+    batch semantics).
+    """
+    refs = stream_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.array_compact(F.col(f"{spans_col}.media_ref")))
+        ).alias("media_ref"),
+    )
+    return refs.join(
+        F.broadcast(catalog.select("media_ref").distinct()),
+        "media_ref",
+        "left_anti",
+    ).select("doc_id", "media_ref")

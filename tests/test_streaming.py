@@ -135,3 +135,34 @@ def test_validate_stream_sink_idempotent_on_replay(spark, tmp_path):
     verd = spark.read.parquet(out + "/verdicts")
     assert verd.filter("rule_id = 'positive_chars'").count() == \
         verd.select("partition_id").distinct().count()
+
+
+def test_referential_stream_flags_dangling_refs(spark, tmp_path, docs, catalog):
+    """Stream-static anti join: the streaming referential check must
+    flag exactly the batch check's dangling (doc, ref) pairs."""
+    from automatic_data_validator_spark.refcheck import distinct_refs
+    from automatic_data_validator_spark.streaming import referential_stream
+
+    src = str(tmp_path / "stream_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = referential_stream(stream, catalog)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ref_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["media_ref"])
+        for r in spark.sql("SELECT * FROM ref_stream_test").collect()
+    }
+    cat_refs = {r["media_ref"] for r in catalog.select("media_ref").collect()}
+    batch = {
+        (r["doc_id"], r["media_ref"])
+        for r in distinct_refs(docs).collect()
+        if r["media_ref"] not in cat_refs
+    }
+    assert got == batch and got
