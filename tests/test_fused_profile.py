@@ -251,3 +251,22 @@ def test_fused_run_with_numeric_columns_adds_quantile_pass(spark):
             0.05 if k[1] in ("q1", "median", "q3") else 1e-6
         )
         assert _close(fm[k], v, rtol=rtol), (k, v, fm[k])
+
+
+def test_fused_profile_in_spill_mode_matches_default(spark, docs, catalog):
+    """Spill mode (distributed verdicts, 8M-partition path) must
+    produce the same fused-profile metrics and verdicts as the default
+    driver-collected path."""
+    base = run_validation(spark, docs, catalog=catalog, with_profile=True)
+    spilled = run_validation(
+        spark, docs, catalog=catalog, with_profile=True,
+        verdict_spill_threshold=1,
+    )
+    bm = {(r["column"], r["metric"]): r["value"] for r in base.metrics.collect()}
+    sm = {(r["column"], r["metric"]): r["value"] for r in spilled.metrics.collect()}
+    assert set(bm) == set(sm)
+    for k, v in bm.items():
+        assert _close(sm[k], v, rtol=1e-9), (k, v, sm[k])
+    assert sorted(map(tuple, base.verdicts.collect())) == sorted(
+        map(tuple, spilled.verdicts.collect())
+    )
