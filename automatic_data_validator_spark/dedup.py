@@ -124,6 +124,14 @@ def uniqueness_check(
         )
         .persist()
     )
+    # Totals from a concurrently-running row-rules phase may arrive as
+    # a BLOCKING CALLABLE (returning a dict in default mode or a
+    # (partition_id, row_count) DataFrame in spill mode): materialize
+    # THIS phase's own (expensive) scan first, then resolve — so the
+    # two phases' scans overlap instead of serializing (round 3).
+    if callable(partition_totals):
+        violations.count()  # pins the persisted violation set
+        partition_totals = partition_totals()
     if isinstance(partition_totals, DataFrame):
         from .rules import distributed_verdicts
 
@@ -131,17 +139,10 @@ def uniqueness_check(
             distributed_verdicts(partition_totals, violations, rule_id),
             violations,
         )
-    # materialize this phase's own (expensive) work FIRST; totals from
-    # a concurrently-running row-rules phase are resolved only when the
-    # verdict rows are assembled — callers may pass a callable so this
-    # phase's scan overlaps the row-rules scan instead of serializing
-    # behind it (round-3: phase-overlap wall-clock win)
     viol_by_pid = {
         r["partition_id"]: r["cnt"]
         for r in violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    if callable(partition_totals):
-        partition_totals = partition_totals()
     if partition_totals is None:
         # standalone mode: no row-rules scan to reuse — one extra
         # key-column-pruned pass for the totals

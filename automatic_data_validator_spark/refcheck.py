@@ -88,6 +88,12 @@ def referential_check(
         "partition_id",
         F.col("media_ref").alias("detail"),
     )
+    # callable totals (the concurrent row-rules phase) resolve only
+    # AFTER this phase's own scan/join materializes, so the two scans
+    # overlap in both verdict modes (round 3)
+    if callable(partition_totals):
+        dangling.count()  # pins the persisted dangling set
+        partition_totals = partition_totals()
     if isinstance(partition_totals, DataFrame):
         from .rules import distributed_verdicts
 
@@ -97,9 +103,6 @@ def referential_check(
             ),
             violations,
         )
-    # this phase's scan/join materializes FIRST; a callable totals
-    # source (the concurrent row-rules phase) resolves only at verdict
-    # assembly, so the two phases' scans overlap (round 3)
     viol_by_pid = {
         r["partition_id"]: r["cnt"]
         for r in dangling.select("partition_id", "doc_id")
@@ -108,8 +111,6 @@ def referential_check(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    if callable(partition_totals):
-        partition_totals = partition_totals()
     if partition_totals is None:
         partition_totals = {
             r["partition_id"]: r["cnt"]

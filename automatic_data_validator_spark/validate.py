@@ -214,26 +214,15 @@ def run_validation(
     # wall-time win grows with core count. The uniqueness/referential
     # phases need the row-rules scan's per-partition totals ONLY to
     # assemble their verdict rows, never for their violation plans, so
-    # in the default (non-spill) mode they receive a BLOCKING CALLABLE
-    # resolved by the row-rules phase and all three scans overlap
-    # (round 3; previously row_rules ran to completion first). Spill
-    # mode keeps the sequential order: its totals are a DataFrame
-    # derived from the completed row-rules phase.
+    # they receive a BLOCKING CALLABLE resolved by the row-rules phase
+    # and all three scans overlap in BOTH verdict modes (round 3;
+    # previously row_rules ran to completion first): default mode
+    # resolves to a dict, spill mode to a lazily-joined DataFrame over
+    # the completed phase's verdicts.
     from concurrent.futures import Future, ThreadPoolExecutor
 
     totals_future: Future = Future()
-    rr_vdf = None
-    if row_rules and spill:
-        rr_vdf = run_phase(
-            "row_rules",
-            row_rules_fused
-            if use_fused
-            else lambda: R.evaluate_row_rules(documents, row_rules, key_column),
-        )
-        partition_totals = rr_vdf.filter(
-            F.col("rule_id") == row_rules[0].rule_id
-        ).select("partition_id", "row_count")
-    elif row_rules:
+    if row_rules:
         partition_totals = totals_future.result  # blocking callable
     elif spill:
         # no row-rules pass to reuse: build the totals distributed
@@ -252,12 +241,13 @@ def run_validation(
                 if use_fused
                 else lambda: R.evaluate_row_rules(documents, row_rules, key_column),
             )
+            totals = vdf.filter(F.col("rule_id") == row_rules[0].rule_id)
             totals_future.set_result(
-                {
+                totals.select("partition_id", "row_count")
+                if spill
+                else {
                     int(r["partition_id"]): int(r["row_count"])
-                    for r in vdf.filter(
-                        F.col("rule_id") == row_rules[0].rule_id
-                    ).collect()
+                    for r in totals.collect()
                 }
             )
             return vdf
@@ -315,9 +305,7 @@ def run_validation(
     metrics_future = None
     quantile_future = None
     with ThreadPoolExecutor(max_workers=max(len(tasks) + 3, 2)) as pool:
-        rr_future = (
-            pool.submit(row_rules_task) if row_rules and not spill else None
-        )
+        rr_future = pool.submit(row_rules_task) if row_rules else None
         if with_profile:
             if ckpt and ckpt.is_done("profile"):
                 # resume: read the checkpointed metrics back instead of
