@@ -172,13 +172,20 @@ def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
         # — a plain cast-to-column-type fill would silently truncate,
         # so such columns go to double first, keeping the applied value
         # identical to plan.imputations.
-        if c in numeric_imp:
+        numeric_dt = dt in _int_types or dt in ("float", "double") or dt.startswith(
+            "decimal"
+        )
+        if c in numeric_imp and numeric_dt:
+            # type guard mirrors df.na.fill(dict): numeric fills apply
+            # only to numeric columns (a plan naming a string/timestamp
+            # column is skipped, not coerced — round-3 review finding)
             v = numeric_imp[c]
             if dt in _int_types and float(v) != float(int(v)):
                 e = e.cast("double")
                 dt = "double"
-            # na.fill semantics: the fill value is cast to the column type
-            e = F.coalesce(e, F.lit(float(v)).cast(dt))
+            # F.lit(v) keeps integer fills exact (no double round-trip
+            # corrupting bigints above 2^53); cast matches na.fill
+            e = F.coalesce(e, F.lit(v).cast(dt))
         elif c in string_imp and dt == "string":
             e = F.coalesce(e, F.lit(string_imp[c]))
         # 4. cap outliers: clip == least(greatest(x, lo), hi). Same

@@ -331,10 +331,14 @@ def _xxh64_bytes_padded(mat, lens, seed: int):
     nblocks = lens // 32
     maxb = int(nblocks.max()) if n else 0
     has_blocks = nblocks > 0
-    v1 = np.full(n, s + p1 + p2, dtype=np.uint64)
-    v2 = np.full(n, s + p2, dtype=np.uint64)
-    v3 = np.full(n, s, dtype=np.uint64)
-    v4 = np.full(n, s - p1, dtype=np.uint64)
+    # init constants folded in python ints: numpy SCALAR wraparound
+    # emits RuntimeWarnings (fatal under warnings-as-errors configs)
+    m64 = 0xFFFFFFFFFFFFFFFF
+    sv = int(seed) & m64
+    v1 = np.full(n, u64((sv + _XXH_P1 + _XXH_P2) & m64), dtype=np.uint64)
+    v2 = np.full(n, u64((sv + _XXH_P2) & m64), dtype=np.uint64)
+    v3 = np.full(n, u64(sv), dtype=np.uint64)
+    v4 = np.full(n, u64((sv - _XXH_P1) & m64), dtype=np.uint64)
     for b in range(maxb):
         act = b < nblocks
         base = b * 4
@@ -701,6 +705,10 @@ def minhash_lsh_duplicates(
     return (
         grouped.select(F.explode(combos).alias("p"))
         .select("p.id_a", "p.id_b")
+        # a DUPLICATE id landing twice in one bucket would otherwise
+        # emit the self-pair (id, id) — the former self-join's strict
+        # l._id < r._id excluded it (round-3 review finding)
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -884,7 +892,9 @@ def simhash_neardup_pairs(
     return (
         grouped.select(F.explode(combos).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
+        # strict inequality drops self-pairs from duplicated ids (see
+        # minhash_lsh_duplicates)
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("hamming") <= max_hamming))
         .distinct()
     )
 
@@ -894,12 +904,18 @@ def _pair_side(candidate_pairs: DataFrame, broadcast_limit: int) -> DataFrame:
 
     Post-LSH candidate sets are *usually* tiny but can exceed the
     broadcast cap at 10^12 docs (round-2 ADVICE), so the pair set is
-    persisted, counted once, and falls back to a shuffle join above
-    ``broadcast_limit`` — the same count-gated pattern as
-    refcheck.referential_check's catalog-side guard."""
-    cached = candidate_pairs.persist()
-    n = cached.count()
-    return F.broadcast(cached) if n <= broadcast_limit else cached.hint("merge")
+    counted and falls back to a shuffle join above ``broadcast_limit``
+    — the same count-gated pattern as refcheck.referential_check's
+    catalog-side guard. No internal persist: the count and the join
+    each evaluate the candidate plan once, and nothing outlives the
+    call (round-2 wrong-list #1 standard); callers whose candidate
+    plans are expensive should persist BEFORE calling."""
+    n = candidate_pairs.count()
+    return (
+        F.broadcast(candidate_pairs)
+        if n <= broadcast_limit
+        else candidate_pairs.hint("merge")
+    )
 
 
 def ngram_jaccard(

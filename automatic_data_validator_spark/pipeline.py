@@ -55,10 +55,14 @@ def run(spark, inp, out):
     unique_key rule to opt in."""
     df = spark.read.parquet(inp)
     rules = [R.Rule(**r) for r in RULESET]
+    # snapshot_id="auto" fingerprints the input file list: re-running
+    # against CHANGED input with the same output dir invalidates the
+    # phase checkpoints instead of silently reusing stale results
     res = run_validation(spark, df, rule_set=rules,
                          key_column=KEY_COLUMN or df.columns[0],
                          check_uniqueness=False,
                          checkpoint_dir=out + "/_checkpoints",
+                         snapshot_id="auto",
                          rule_version="{rule_version}")
     res.verdicts.write.mode("overwrite").parquet(out + "/verdicts")
     res.violations.write.mode("overwrite").parquet(out + "/violations")
@@ -128,20 +132,8 @@ def spark():
 
 @pytest.fixture(scope="module")
 def fixture_df(spark):
-    # the reference's dirty fixture (pipeline_generator.py:716-722):
-    # duplicate id 5, null name, mixed-type age held as string,
-    # null salary
-    rows = [
-        (1, "Alice", "25", 50000.0, "2023-01-01"),
-        (2, "Bob", "30", 60000.0, "2023-02-01"),
-        (3, None, "35", 70000.0, "2023-03-01"),
-        (4, "David", "40", 80000.0, "2023-04-01"),
-        (5, "Eve", "45", None, "2023-05-01"),
-        (5, "Eve", "45", None, "2023-05-01"),
-    ]
-    return spark.createDataFrame(
-        rows, "id bigint, name string, age string, salary double, date string"
-    )
+    rows = {fixture_rows_lit}
+    return spark.createDataFrame(rows, {fixture_schema_lit})
 
 
 @pytest.fixture(scope="module")
@@ -232,21 +224,107 @@ def emit_pipeline(
     )
 
 
+# the reference's dirty HR fixture (pipeline_generator.py:716-722):
+# duplicate id 5, null name, mixed-type age held as string, null salary
+_HR_FIXTURE_SCHEMA = "id bigint, name string, age string, salary double, date string"
+_HR_FIXTURE_ROWS = [
+    (1, "Alice", "25", 50000.0, "2023-01-01"),
+    (2, "Bob", "30", 60000.0, "2023-02-01"),
+    (3, None, "35", 70000.0, "2023-03-01"),
+    (4, "David", "40", 80000.0, "2023-04-01"),
+    (5, "Eve", "45", None, "2023-05-01"),
+    (5, "Eve", "45", None, "2023-05-01"),
+]
+# flagship documents shape: duplicate doc_id + one non-increasing
+# offset (the same dirt classes, spans-flavored)
+_DOCS_FIXTURE_SCHEMA = (
+    "doc_id string, spans array<struct"
+    "<kind:string,text:string,media_ref:string,offset:int>>"
+)
+_DOCS_FIXTURE_ROWS = [
+    ("d1", [("text", "hello world", None, 0), ("image", None, "media-1", 8)]),
+    ("d2", [("text", "more text", None, 0)]),
+    ("d3", [("text", "bad offsets", None, 5), ("text", "here", None, 2)]),
+    ("d4", [("audio", None, "media-2", 0)]),
+    ("d5", [("text", "dup doc", None, 0)]),
+    ("d5", [("text", "dup doc", None, 0)]),
+]
+
+
+def _rule_columns(rules: "list[Rule] | None") -> set[str]:
+    """Columns a rule set references: declared columns plus free
+    identifiers of ``expr`` rules (keywords/functions excluded)."""
+    from . import rules as _R
+
+    cols: set[str] = set()
+    for r in rules or []:
+        if r.column:
+            cols.add(r.column)
+        if r.expr:
+            import re as _re
+
+            stripped = _re.sub(r"'[^']*'", "''", r.expr)
+            for tok in _R._IDENT.findall(_re.sub(r"\.\w+", "", stripped)):
+                t = tok.lower()
+                if t not in _R._KEYWORDS and t not in _R._ALLOWED_FUNCTIONS:
+                    cols.add(tok)
+    return cols
+
+
 def emit_tests(
     plan: CorrectionPlan | None = None,
     script_name: str = "advs_pipeline.py",
     test_name: str = "test_advs_pipeline.py",
+    rules: "list[Rule] | None" = None,
+    fixture_schema: str | None = None,
+    fixture_rows: list | None = None,
 ) -> str:
     """Runnable pytest suite shipped WITH every emitted pipeline
     (round-3 directive #3; reference pipeline_generator.py:696-836).
     Deterministic text; the clean-output assertions are emitted only
-    when the pipeline actually carries a correction plan."""
+    when the pipeline actually carries a correction plan.
+
+    Fixture selection (round-3 review finding — a fixed fixture made
+    the suite fail for any other ruleset): an explicit
+    ``fixture_schema``/``fixture_rows`` pair wins; otherwise the
+    fixture is chosen by the columns the RULES reference — the
+    reference's 6-row HR fixture when they fit it, the spans-shaped
+    documents fixture for the flagship shape, and a loud ValueError
+    (asking for an explicit fixture) for anything else."""
+    if (fixture_schema is None) != (fixture_rows is None):
+        raise ValueError("pass fixture_schema and fixture_rows together")
+    if fixture_schema is None:
+        cols = _rule_columns(rules)
+        hr_cols = {"id", "name", "age", "salary", "date"}
+        doc_cols = {"doc_id", "spans"}
+        plan_cols = set()
+        if plan is not None:
+            plan_cols = (
+                set(plan.imputations) | set(plan.caps)
+                | set(plan.standardize_columns) | set(plan.casts)
+                | set(plan.dedup_keys or [])
+            )
+        referenced = cols | plan_cols
+        if referenced <= hr_cols or not referenced:
+            fixture_schema, fixture_rows = _HR_FIXTURE_SCHEMA, _HR_FIXTURE_ROWS
+        elif referenced <= doc_cols:
+            fixture_schema, fixture_rows = _DOCS_FIXTURE_SCHEMA, _DOCS_FIXTURE_ROWS
+        else:
+            raise ValueError(
+                "emit_tests: rules/plan reference columns "
+                f"{sorted(referenced)} that fit neither built-in fixture "
+                f"({sorted(hr_cols)} or {sorted(doc_cols)}); pass "
+                "fixture_schema/fixture_rows describing a small dirty "
+                "sample of YOUR table"
+            )
     clean_tests = CLEAN_TESTS_TEMPLATE if plan is not None else ""
     return TEST_TEMPLATE.format(
         script_name=script_name,
         test_name=test_name,
         script_name_lit=repr(script_name),
         clean_tests=clean_tests,
+        fixture_rows_lit=repr(fixture_rows),
+        fixture_schema_lit=repr(fixture_schema),
     )
 
 
@@ -345,7 +423,7 @@ def create_package(
         paths[name] = p
 
     write("advs_pipeline.py", emit_pipeline(rules, plan, key_column=key_column))
-    write("test_advs_pipeline.py", emit_tests(plan))
+    write("test_advs_pipeline.py", emit_tests(plan, rules=rules))
     write("README.md", emit_readme(rules, plan))
     write("requirements.txt", "pyspark>=4.0\nnumpy>=1.24\npandas>=2.0\npyarrow>=12\n")
     write(

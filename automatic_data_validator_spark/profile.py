@@ -419,7 +419,13 @@ def finalize_partial_profile(
         st = stats.setdefault(c, {})
         v = row1.get(alias)
         if kind == "sum":
-            st[metric] = None if v is None else float(v)
+            # count-backed partials (F.count in stage A) are 0 on empty
+            # input in the classic profile; plain F.sum partials stay
+            # NULL there — mirror both (round-3 review finding)
+            if v is None and metric == "non_null_count":
+                st[metric] = 0.0
+            else:
+                st[metric] = None if v is None else float(v)
         elif kind in ("min", "max"):
             st[metric] = None if v is None else float(v)
         elif kind == "sum_div_nn":

@@ -102,11 +102,27 @@ def run_validation(
     # inputs (in-memory relations) are small by construction — fall
     # back to the exact partition count for them.
     try:
-        n_input_units = len(documents.inputFiles())
+        n_files = len(documents.inputFiles())
     except Exception:
-        n_input_units = 0
-    if n_input_units == 0:
+        n_files = 0
+    if n_files == 0:
         n_input_units = documents.rdd.getNumPartitions()
+    else:
+        # large splittable files yield more partitions than files —
+        # bound below by the optimizer's size estimate (already
+        # computed from the cached file listing, no extra IO) divided
+        # by the split size (round-3 review finding: a 50k x 1GB-file
+        # dataset splits into ~400k partitions)
+        try:
+            size_bytes = int(
+                documents._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            max_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            n_input_units = max(n_files, size_bytes // max(max_split, 1))
+        except Exception:
+            n_input_units = n_files
     spill = n_input_units > verdict_spill_threshold
 
     verdict_dfs: list[DataFrame] = []

@@ -485,3 +485,22 @@ def test_arrow_signatures_survive_hof_heavy_session(spark, docs):
     assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     sh = df.select(D.simhash("text").alias("h")).collect()
     assert all(r["h"] is not None for r in sh)
+
+
+def test_lsh_no_self_pairs_for_duplicate_ids(spark):
+    """Round-3 review finding: a duplicated id landing twice in one
+    bucket must not emit the self-pair (id, id) — the in-bucket
+    expansion keeps the old join's strict id_a < id_b."""
+    import pandas as pd
+
+    texts = ["the quick brown fox jumps over the lazy dog"] * 3
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [7, 7, 9], "text": texts})  # id 7 duplicated
+    )
+    mh = {(r["id_a"], r["id_b"])
+          for r in D.minhash_lsh_duplicates(df, "id", "text",
+                                            num_hashes=16, bands=4).collect()}
+    assert (7, 7) not in mh and (7, 9) in mh
+    sh = {(r["id_a"], r["id_b"])
+          for r in D.simhash_neardup_pairs(df, "id", "text").collect()}
+    assert (7, 7) not in sh and (7, 9) in sh

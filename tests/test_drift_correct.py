@@ -321,3 +321,26 @@ def test_categorical_inconsistency_no_global_window(spark):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "norm_key" in spec, spec
+
+
+def test_apply_plan_skips_type_incompatible_imputations(spark):
+    """Round-3 review finding: numeric fills must not coerce
+    string/timestamp columns (df.na.fill dict semantics), and integer
+    fills stay exact (no double round-trip above 2^53)."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+
+    big = (1 << 60) + 3
+    df = spark.createDataFrame(
+        [("a", None, None), ("b", "keep", 5)],
+        "k string, s string, v bigint",
+    )
+    plan = CorrectionPlan(
+        dedup_keys=["k"], order_key="k",
+        imputations={"s": 2.5, "v": big},  # numeric fill on a string col
+    )
+    rows = {r["k"]: r for r in apply_plan(df, plan).collect()}
+    assert rows["a"]["s"] is None            # NOT coerced to '2.5'
+    assert rows["a"]["v"] == big             # exact bigint fill
+    assert rows["b"]["s"] == "keep"

@@ -237,3 +237,36 @@ def test_emitted_package_selfcheck_suite_passes(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-1000:]
     assert "passed" in proc.stdout
+
+
+def test_emit_tests_fixture_selection(tmp_path):
+    """Round-3 review finding: the emitted suite's fixture must match
+    the ruleset — documents-shaped rules get the spans fixture, rules
+    over unknown columns fail loudly at EMISSION (not at the user's
+    first test run)."""
+    import subprocess
+    import sys
+    import os
+
+    import pytest as _pytest
+
+    from automatic_data_validator_spark.pipeline import create_package, emit_tests
+    from automatic_data_validator_spark.validate import DEFAULT_RULES
+    from automatic_data_validator_spark.rules import Rule
+
+    # flagship documents rules -> spans fixture, suite runs green
+    pkg = str(tmp_path / "pkg_docs")
+    paths = create_package(list(DEFAULT_RULES), plan=None, out_dir=pkg)
+    txt = open(paths["test_advs_pipeline.py"]).read()
+    assert "spans array<struct" in txt and "Alice" not in txt
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", paths["test_advs_pipeline.py"], "-x", "-q"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": paths["advs.zip"]},
+        cwd=pkg, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:]
+
+    # unknown columns -> loud emission-time error
+    with _pytest.raises(ValueError, match="fixture"):
+        emit_tests(rules=[Rule("nn", "not_null", column="movie_title")])
