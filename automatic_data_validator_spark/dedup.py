@@ -958,3 +958,117 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def connected_dup_groups(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: returns
+    (doc_id, component) where ``component`` is the MINIMUM id in the
+    doc's component — the canonical representative.
+
+    Min-label propagation (the standard iterative formulation behind
+    large-star/small-star CC, Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Post-LSH pair sets are tiny next to
+    the corpus and dedup components are shallow (near-clique), so this
+    typically converges in 2-3 rounds; each round is one join + one
+    aggregation over the PAIR set only (the corpus is never touched).
+    Raises after ``max_iterations`` without convergence (a pathological
+    chain that long means the pair set itself is suspect).
+
+    The RETURNED frame is persisted (each round and the convergence
+    check already materialized it); call ``.unpersist()`` when done —
+    intermediate rounds and the edge list are released internally.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .select(F.col("src").alias("doc_id"), "component")
+        .persist()
+    )
+    labels.count()
+    try:
+        for _i in range(max_iterations):
+            # neighbor labels: src adopts min(label(dst)) over its edges
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"),
+                        F.col("component").alias("_nl"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("_nl").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min.select(
+                        F.col("src").alias("doc_id"), "_nmin"
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce("_nmin", F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_dup_groups: no convergence in {max_iterations} "
+            "rounds — pair set contains an unexpectedly long chain"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Drop-list semantics for a near-duplicate pair list: keep each
+    component's minimum id, drop the rest — the final step of the
+    training-data dedup pipeline (LSH candidates -> verified pairs ->
+    THIS). Returns (kept_df, drop_list) where drop_list is
+    (doc_id, component). The corpus is touched by exactly one
+    left-anti join against the (small, broadcastable) drop list; ids
+    outside any pair are untouched."""
+    comps = connected_dup_groups(pairs)
+    drop_list = comps.filter(F.col("doc_id") != F.col("component"))
+    # same count-gated broadcast standard as the other verify joins:
+    # comps is already persisted by connected_dup_groups, so the count
+    # is a cache read
+    n_drop = drop_list.count()
+    drop_side = drop_list.select(F.col("doc_id").alias(id_col))
+    drop_side = (
+        F.broadcast(drop_side)
+        if n_drop <= config.BROADCAST_ROW_LIMIT
+        else drop_side.hint("merge")
+    )
+    kept = df.join(drop_side, id_col, "left_anti")
+    return kept, drop_list

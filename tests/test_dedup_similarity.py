@@ -504,3 +504,65 @@ def test_lsh_no_self_pairs_for_duplicate_ids(spark):
     sh = {(r["id_a"], r["id_b"])
           for r in D.simhash_neardup_pairs(df, "id", "text").collect()}
     assert (7, 7) not in sh and (7, 9) in sh
+
+
+def test_connected_dup_groups_matches_union_find(spark):
+    """Min-label propagation vs a python union-find oracle on an
+    adversarial graph: chains (worst-case diameter), a clique, an
+    isolated pair, disjoint components."""
+    import pandas as pd
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),        # chain of 5
+        (10, 11), (10, 12), (11, 12),          # triangle
+        (20, 21),                              # isolated pair
+        (30, 31), (31, 32), (30, 32), (32, 33) # clique + tail
+    ]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"])
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_dup_groups(pairs).collect()
+    }
+
+    # union-find oracle
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    oracle = {x: find(x) for x in parent}
+    assert got == oracle
+
+
+def test_dedup_keep_representatives_end_to_end(spark):
+    """LSH pairs -> components -> drop list: exactly one survivor per
+    near-dup group, untouched singletons kept."""
+    import pandas as pd
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "the quick brown fox jumps over the lazy cat",
+        4: "completely unrelated text about spark engines and data",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(texts), "text": list(texts.values())})
+    )
+    pairs = D.minhash_lsh_duplicates(df, "id", "text", num_hashes=32, bands=16)
+    kept, dropped = D.dedup_keep_representatives(df, pairs, id_col="id")
+    kept_ids = {r["id"] for r in kept.collect()}
+    assert 1 in kept_ids          # component representative (min id)
+    assert 4 in kept_ids          # singleton untouched
+    assert 2 not in kept_ids      # exact dup dropped
+    drop_ids = {r["doc_id"] for r in dropped.collect()}
+    assert 2 in drop_ids and 1 not in drop_ids and 4 not in drop_ids
