@@ -794,6 +794,37 @@ def q47_partitioned_moments(spark, sf):
     )
 
 
+def q48_connected_components(spark, sf):
+    """Distributed min-label-propagation connected components
+    (dedup.connected_dup_groups — the pair->drop-list step of the
+    dedup pipeline) against a recursive-CTE oracle: a deterministic
+    chain graph built from the events table's user ids (edges u->u+2
+    except where u%7==0 breaks the chain)."""
+    from automatic_data_validator_spark.dedup import connected_dup_groups
+
+    ev = _t(spark, sf, "events")
+    nodes = ev.select("user_id").distinct().filter(F.col("user_id") < 300)
+    pairs = (
+        nodes.alias("a")
+        .join(
+            nodes.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id") + 2)
+            & (F.col("a.user_id") % 7 != 0),
+        )
+        .select(
+            F.col("a.user_id").alias("id_a"), F.col("b.user_id").alias("id_b")
+        )
+    )
+    comps = connected_dup_groups(pairs)
+    out = comps.select(
+        F.col("doc_id").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("node")
+    rows = out.collect()
+    comps.unpersist()
+    return spark.createDataFrame(rows, "node long, component long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -843,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_cosine_neardup": q45_cosine_neardup,
         "q46_correction_summary": q46_correction_summary,
         "q47_partitioned_moments": q47_partitioned_moments,
+        "q48_connected_components": q48_connected_components,
     }
 
 
@@ -1451,4 +1483,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q46_correction_summary": _q46_oracle_sql(),
         "q47_partitioned_moments": _q47_oracle_sql(),
+        "q48_connected_components": """
+            WITH RECURSIVE nodes AS (
+              SELECT DISTINCT user_id FROM events WHERE user_id < 300
+            ),
+            edges AS (
+              SELECT a.user_id AS src, b.user_id AS dst
+              FROM nodes a JOIN nodes b
+                ON b.user_id = a.user_id + 2 AND a.user_id % 7 <> 0
+            ),
+            bidir AS (
+              SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges
+            ),
+            touched AS (SELECT DISTINCT src AS node FROM bidir),
+            reach(node, lbl) AS (
+              SELECT node, node FROM touched
+              UNION
+              SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY node ORDER BY node
+        """,
     }
