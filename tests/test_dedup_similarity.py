@@ -566,3 +566,17 @@ def test_dedup_keep_representatives_end_to_end(spark):
     assert 2 not in kept_ids      # exact dup dropped
     drop_ids = {r["doc_id"] for r in dropped.collect()}
     assert 2 in drop_ids and 1 not in drop_ids and 4 not in drop_ids
+
+
+def test_connected_dup_groups_string_ids(spark):
+    """The flagship doc_id is a STRING — min-label must work
+    lexicographically."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["d2", "d1"], "id_b": ["d3", "d2"]})
+    )
+    comps = D.connected_dup_groups(pairs)
+    got = {r["doc_id"]: r["component"] for r in comps.collect()}
+    comps.unpersist()
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1"}
