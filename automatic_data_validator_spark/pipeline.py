@@ -253,7 +253,9 @@ _DOCS_FIXTURE_ROWS = [
 
 def _rule_columns(rules: "list[Rule] | None") -> set[str]:
     """Columns a rule set references: declared columns plus free
-    identifiers of ``expr`` rules (keywords/functions excluded)."""
+    identifiers of ``expr`` rules (keywords/functions excluded) —
+    tokenized by rules.expr_identifiers, the same literal-stripping
+    walk the safety allowlist uses."""
     from . import rules as _R
 
     cols: set[str] = set()
@@ -261,10 +263,7 @@ def _rule_columns(rules: "list[Rule] | None") -> set[str]:
         if r.column:
             cols.add(r.column)
         if r.expr:
-            import re as _re
-
-            stripped = _re.sub(r"'[^']*'", "''", r.expr)
-            for tok in _R._IDENT.findall(_re.sub(r"\.\w+", "", stripped)):
+            for tok in _R.expr_identifiers(r.expr):
                 t = tok.lower()
                 if t not in _R._KEYWORDS and t not in _R._ALLOWED_FUNCTIONS:
                     cols.add(tok)

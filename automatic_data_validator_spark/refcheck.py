@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 from . import config
 
 
+def media_refs_expr(spans_col: str = "spans"):
+    """array<string> of a row's DISTINCT non-null media refs — direct
+    nested-field extraction so parquet reads only the media_ref
+    subfield (see distinct_refs). Shared by the batch and streaming
+    referential checks."""
+    return F.array_distinct(F.array_compact(F.col(f"{spans_col}.media_ref")))
+
+
 def distinct_refs(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Distinct non-null media refs with per-input-partition attribution.
 
@@ -43,11 +51,7 @@ def distinct_refs(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             F.col("doc_id").cast("string").alias("doc_id"),
             # per-row distinct BEFORE explode: a doc repeating one ref
             # emits it once (also keeps violation rows one-per-doc×ref)
-            F.explode(
-                F.array_distinct(
-                    F.array_compact(F.col(f"{spans_col}.media_ref"))
-                )
-            ).alias("media_ref"),
+            F.explode(media_refs_expr(spans_col)).alias("media_ref"),
         )
     )
 

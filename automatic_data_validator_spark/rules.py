@@ -150,6 +150,18 @@ _BLOCKED = re.compile(
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
+def expr_identifiers(expr: str) -> list[str]:
+    """Candidate identifiers of a rule expression: string and numeric
+    literals stripped (1e6 / 0x1F would otherwise surface bogus
+    "identifiers" e6 / x1F), struct-field tails dropped (a.b.c
+    yields only the head a). Shared by the safety allowlist below and
+    pipeline emission's fixture selection."""
+    stripped = re.sub(r"'[^']*'", "''", expr)
+    stripped = re.sub(r"\b0[xX][0-9a-fA-F]+\b", " 0 ", stripped)
+    stripped = re.sub(r"\b\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\b", " 0 ", stripped)
+    return _IDENT.findall(re.sub(r"\.\w+", "", stripped))
+
+
 def validate_sql_expr(expr: str, allowed_columns: list[str]) -> None:
     """Reject expressions referencing anything outside the allowlist.
 
@@ -159,15 +171,8 @@ def validate_sql_expr(expr: str, allowed_columns: list[str]) -> None:
     """
     if _BLOCKED.search(expr):
         raise ValueError(f"blocked keyword in rule expression: {expr!r}")
-    # strip string literals so their contents aren't treated as identifiers
-    stripped = re.sub(r"'[^']*'", "''", expr)
-    # strip numeric literals: 1e6 / 0x1F would otherwise surface bogus
-    # "identifiers" e6 / x1F and falsely reject a valid expression
-    stripped = re.sub(r"\b0[xX][0-9a-fA-F]+\b", " 0 ", stripped)
-    stripped = re.sub(r"\b\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\b", " 0 ", stripped)
     cols = {c.lower() for c in allowed_columns}
-    # struct field access a.b.c: validate only the head
-    for token in _IDENT.findall(re.sub(r"\.\w+", "", stripped)):
+    for token in expr_identifiers(expr):
         t = token.lower()
         if t in _KEYWORDS or t in _ALLOWED_FUNCTIONS or t in cols:
             continue

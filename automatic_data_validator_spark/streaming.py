@@ -142,11 +142,11 @@ def referential_stream(
     (violations land one row per doc x distinct dangling ref, matching
     batch semantics).
     """
+    from .refcheck import media_refs_expr
+
     refs = stream_df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(
-            F.array_distinct(F.array_compact(F.col(f"{spans_col}.media_ref")))
-        ).alias("media_ref"),
+        F.explode(media_refs_expr(spans_col)).alias("media_ref"),
     )
     return refs.join(
         F.broadcast(catalog.select("media_ref").distinct()),

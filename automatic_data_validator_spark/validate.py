@@ -219,7 +219,6 @@ def run_validation(
             documents, preds, fused_plan.exprs
         ).persist()
         fused_state["per_part"] = per_part
-        fused_state["plan"] = fused_plan
         vdf = R.verdicts_from_per_partition(per_part, [rid for rid, _ in preds])
         return vdf, R.violation_rows(documents, preds, key_column)
 
@@ -353,7 +352,7 @@ def run_validation(
             fut.result()
         if fused_state and with_profile and metrics is None:
             prof = finalize_partial_profile(
-                fused_state["per_part"], fused_state["plan"]
+                fused_state["per_part"], fused_plan
             )
             if quantile_future is not None:
                 from .profile import _suggest
