@@ -820,9 +820,115 @@ def q48_connected_components(spark, sf):
         F.col("doc_id").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     ).orderBy("node")
-    rows = out.collect()
+    # release the cache before returning: min-label propagation is a
+    # deterministic fixed plan, so a driver re-evaluation recomputes
+    # identical labels — no collect/createDataFrame round-trip needed
+    # (round-3 VERDICT hygiene #3)
     comps.unpersist()
-    return spark.createDataFrame(rows, "node long, component long")
+    return out
+
+
+# dedup-pipeline contract (q49/q51): the subset bound keeps the
+# brute-force DuckDB oracle tractable at larger scale factors (all
+# 500 docs at sf0.01; 1000 of 5000 at sf0.1 — an all-pairs oracle over
+# the full sf0.1 table measured >400s)
+_DEDUP_SUBSET = 1000
+_DEDUP_TAU = 0.5
+
+
+def _dedup_verified_pairs(spark, sf):
+    """Shared chain for q49/q51: real LSH candidates (16 bands x 1 hash
+    row — miss probability for a pair at jaccard j is (1-j)^16, ~1e-16
+    at the j>=0.9 pairs this corpus holds, so candidates ∩ {j>=tau}
+    equals the oracle's brute-force {j>=tau} set) -> exact n-gram
+    Jaccard verify -> threshold filter."""
+    from automatic_data_validator_spark.dedup import (
+        minhash_lsh_duplicates,
+        ngram_jaccard,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < _DEDUP_SUBSET)
+        .select("doc_id", "text")
+    )
+    cand = minhash_lsh_duplicates(d, "doc_id", "text", num_hashes=16, bands=16)
+    ver = ngram_jaccard(d, "doc_id", "text", cand).filter(
+        F.col("jaccard") >= _DEDUP_TAU
+    )
+    return d, ver
+
+
+def q49_dedup_pipeline(spark, sf):
+    """End-to-end dedup drop list (round-3 VERDICT directive #1):
+    minhash LSH candidates -> ngram_jaccard verify -> jaccard >= tau ->
+    connected components -> drop list (doc_id, component). The DuckDB
+    oracle recomputes the verified layer by BRUTE FORCE (all pairs in
+    the subset at jaccard >= tau) and the components by recursive CTE —
+    so signatures, banding, verification, and the drop-list step are
+    all independently checked; any behavior change in any stage flips
+    rows here. Reference analog: the zero-dups-after-clean invariant of
+    pipeline_generator.py:773-780."""
+    from automatic_data_validator_spark.dedup import connected_dup_groups
+
+    _d, ver = _dedup_verified_pairs(spark, sf)
+    ver = ver.select("id_a", "id_b").persist()
+    comps = connected_dup_groups(ver)
+    out = (
+        comps.filter(F.col("doc_id") != F.col("component"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        )
+        .orderBy("doc_id")
+    )
+    # deterministic fixed plan: releasing the caches before returning
+    # recomputes identical rows if the driver re-evaluates (q48 pattern)
+    comps.unpersist()
+    ver.unpersist()
+    return out
+
+
+def q51_verified_jaccard(spark, sf):
+    """The per-pair verification layer of the dedup pipeline: every
+    LSH-candidate pair surviving jaccard >= tau, WITH its exact n-gram
+    jaccard value — the DuckDB oracle recomputes the same value from
+    scratch (list_intersect/list_distinct over 3-word shingle sets),
+    so the engine's shingle construction and set arithmetic must match
+    per pair, not just in aggregate."""
+    _d, ver = _dedup_verified_pairs(spark, sf)
+    return ver.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    ).orderBy("id_a", "id_b")
+
+
+# deterministic noise for q50: gives the cleaning step real work on the
+# synthetic corpus (urls/html/emails to strip, sentences to count)
+_Q50_NOISE = ". Visit https://x.co <b>now</b>! mail a@b.com"
+
+
+def q50_text_changes(spark, sf):
+    """Before/after text-change report (reference
+    text_processor.py:645-718 via textops.text_change_report): noise is
+    injected into every 3rd doc, the engine's clean_text strips it, and
+    the report's corpus-level terms (chars/words/sentences/vocabulary,
+    removed urls/emails/html tags, derived quality ratios) are each
+    recomputed in SQL by the oracle."""
+    from automatic_data_validator_spark.textops import clean_text, text_change_report
+
+    d = _t(spark, sf, "documents")
+    orig = d.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0, F.concat("text", F.lit(_Q50_NOISE))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = orig.select("doc_id", clean_text("text").alias("text"))
+    return text_change_report(orig, cleaned, "text").orderBy("metric")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -875,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_correction_summary": q46_correction_summary,
         "q47_partitioned_moments": q47_partitioned_moments,
         "q48_connected_components": q48_connected_components,
+        "q49_dedup_pipeline": q49_dedup_pipeline,
+        "q50_text_changes": q50_text_changes,
+        "q51_verified_jaccard": q51_verified_jaccard,
     }
 
 
@@ -1009,6 +1118,166 @@ def _q47_oracle_sql() -> str:
             f"{r3(std)} AS std, {r3(skew)} AS skewness, {r3(kurt)} AS kurtosis"
         )
     return " UNION ALL ".join(parts)
+
+
+def _dedup_verified_cte() -> str:
+    """Shared q49/q51 oracle layer: brute-force 3-word-shingle jaccard
+    over all pairs in the doc_id subset (size-ratio prefilter is exact:
+    jaccard >= 0.5 forces |A| <= 2|B| and |B| <= 2|A|)."""
+    return f"""
+      sh AS (
+        SELECT doc_id AS id,
+               list_distinct(
+                 CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                                       i -> array_to_string(w[i:i+2], ' '))
+                   ELSE [array_to_string(w, ' ')] END
+               ) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents WHERE doc_id < {_DEDUP_SUBSET})
+      ),
+      verified AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.id < b.id
+         AND len(a.s) <= 2 * len(b.s) AND len(b.s) <= 2 * len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= {_DEDUP_TAU}
+      )"""
+
+
+def _q49_oracle_sql() -> str:
+    return f"""
+      WITH RECURSIVE {_dedup_verified_cte()},
+      bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified
+      ),
+      touched AS (SELECT DISTINCT src AS node FROM bidir),
+      reach(node, lbl) AS (
+        SELECT node, node FROM touched
+        UNION
+        SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.node
+      ),
+      comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+      SELECT CAST(node AS BIGINT) AS doc_id,
+             CAST(component AS BIGINT) AS component
+      FROM comp WHERE node <> component ORDER BY doc_id
+    """
+
+
+def _q51_oracle_sql() -> str:
+    return f"""
+      WITH {_dedup_verified_cte()}
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             jaccard
+      FROM verified ORDER BY id_a, id_b
+    """
+
+
+def _q50_side_sql(cte: str) -> str:
+    """One fused aggregation side of the q50 oracle — every term of
+    textops.text_change_report recomputed from scratch in SQL."""
+    from automatic_data_validator_spark import config as _cfg
+
+    url = _cfg.TEXT_PATTERNS["url"]
+    email = _cfg.TEXT_PATTERNS["email"]
+    html = _cfg.TEXT_PATTERNS["html_tag"]
+    enc = " OR ".join(
+        "contains(t, '" + bad.replace("'", "''") + "')"
+        for bad in _cfg.ENCODING_ARTIFACTS
+    )
+    return f"""
+      SELECT
+        CAST(count(*) AS DOUBLE) AS n_docs,
+        CAST(sum(len(t)) AS DOUBLE) AS total_chars,
+        CAST(sum(CASE WHEN trim(t) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(lower(t)), '\\s+')) END)
+             AS DOUBLE) AS total_words,
+        CAST(sum(len(list_filter(regexp_split_to_array(t, '[.!?]+'),
+                                 x -> trim(x) <> ''))) AS DOUBLE)
+             AS total_sentences,
+        CAST(sum(CASE WHEN trim(t) = '' THEN 0
+                 ELSE len(list_distinct(
+                        regexp_split_to_array(trim(lower(t)), '\\s+'))) END)
+             AS DOUBLE) AS distinct_words,
+        CAST(sum(len(regexp_extract_all(t, '{url}'))) AS DOUBLE) AS urls,
+        CAST(sum(len(regexp_extract_all(t, '{email}'))) AS DOUBLE) AS emails,
+        CAST(sum(len(regexp_extract_all(t, '{html}'))) AS DOUBLE) AS html_tags,
+        CAST(sum(CASE WHEN regexp_matches(t, '{html}') THEN 1 ELSE 0 END)
+             AS DOUBLE) AS docs_with_html,
+        CAST(sum(CASE WHEN regexp_matches(t, '{url}') THEN 1 ELSE 0 END)
+             AS DOUBLE) AS docs_with_urls,
+        CAST(sum(CASE WHEN {enc} THEN 1 ELSE 0 END) AS DOUBLE)
+             AS docs_with_encoding_artifacts
+      FROM (SELECT coalesce(text, '') AS t FROM {cte})
+    """
+
+
+def _q50_oracle_sql() -> str:
+    from automatic_data_validator_spark import config as _cfg
+
+    url = _cfg.TEXT_PATTERNS["url"]
+    email = _cfg.TEXT_PATTERNS["email"]
+    html = _cfg.TEXT_PATTERNS["html_tag"]
+    noise = _Q50_NOISE.replace("'", "''")
+    simple = [
+        "n_docs", "total_chars", "total_words", "total_sentences",
+        "distinct_words", "urls", "emails", "html_tags", "docs_with_html",
+        "docs_with_urls", "docs_with_encoding_artifacts",
+    ]
+    rows = [
+        f"SELECT '{m}' AS metric, b.{m} AS before, a.{m} AS after, "
+        f"a.{m} - b.{m} AS change FROM b, a"
+        for m in simple
+    ]
+    acw = "{s}.total_chars / greatest({s}.total_words, 1.0)"
+    vr = "{s}.distinct_words / greatest({s}.total_words, 1.0)"
+    rows.append(
+        f"SELECT 'average_chars_per_word', {acw.format(s='b')}, "
+        f"{acw.format(s='a')}, {acw.format(s='a')} - {acw.format(s='b')} FROM b, a"
+    )
+    rows.append(
+        f"SELECT 'vocabulary_richness', {vr.format(s='b')}, "
+        f"{vr.format(s='a')}, {vr.format(s='a')} - {vr.format(s='b')} FROM b, a"
+    )
+    rows.append(
+        "SELECT 'length_reduction', b.total_chars, a.total_chars, "
+        "-(b.total_chars - a.total_chars) FROM b, a"
+    )
+    rows.append(
+        "SELECT 'reduction_percentage', NULL, NULL, "
+        "CASE WHEN b.total_chars > 0 THEN "
+        "(b.total_chars - a.total_chars) / b.total_chars * 100.0 "
+        "ELSE 0.0 END FROM b, a"
+    )
+    union = "\n      UNION ALL ".join(rows)
+    return f"""
+      WITH orig AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || '{noise}'
+                    ELSE text END AS text
+        FROM documents
+      ),
+      cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '{url}', ' ', 'g'),
+                     '{email}', ' ', 'g'),
+                   '{html}', ' ', 'g'),
+                 '\\s+', ' ', 'g')) AS text
+        FROM orig
+      ),
+      b AS ({_q50_side_sql('orig')}),
+      a AS ({_q50_side_sql('cleaned')})
+      SELECT metric, before, after, change FROM (
+        {union}
+      ) ORDER BY metric
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1506,4 +1775,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(lbl) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY node
         """,
+        "q49_dedup_pipeline": _q49_oracle_sql(),
+        "q50_text_changes": _q50_oracle_sql(),
+        "q51_verified_jaccard": _q51_oracle_sql(),
     }

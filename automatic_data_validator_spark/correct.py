@@ -184,8 +184,18 @@ def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
                 e = e.cast("double")
                 dt = "double"
             # F.lit(v) keeps integer fills exact (no double round-trip
-            # corrupting bigints above 2^53); cast matches na.fill
-            e = F.coalesce(e, F.lit(v).cast(dt))
+            # corrupting bigints above 2^53); cast matches na.fill.
+            # Floating columns need the isnan branch too: df.na.fill and
+            # pandas fillna both replace NaN, but NaN is NOT NULL in
+            # Spark so coalesce alone would leave it (round-3 ADVICE).
+            # isnan is only defined for float/double — an upcast int
+            # column can't hold NaN, so the guard keys on the source
+            # dtype, not the post-upcast one.
+            fill = F.lit(v).cast(dt)
+            if dtypes[c] in ("float", "double"):
+                e = F.when(e.isNull() | F.isnan(e), fill).otherwise(e)
+            else:
+                e = F.coalesce(e, fill)
         elif c in string_imp and dt == "string":
             e = F.coalesce(e, F.lit(string_imp[c]))
         # 4. cap outliers: clip == least(greatest(x, lo), hi). Same

@@ -35,6 +35,7 @@ def read_csv(
     path: str,
     sample_rows: int = 1000,
     max_probe_files: int = 20,
+    encoding_strict: bool = False,
     **options,
 ) -> DataFrame:
     """CSV read with a WORKING encoding fallback chain.
@@ -47,10 +48,15 @@ def read_csv(
     encoding when any appears. Probing only the dataset head (the old
     ``limit(n)``) read the first split only, silently accepting
     mojibake confined to later files of a multi-file dataset (round-2
-    directive #8). Each probe is one tiny job; beyond
-    ``max_probe_files`` files the residual risk is accepted and
-    documented here — raise the cap when ingesting many
-    heterogeneous-encoding files."""
+    directive #8). Each probe is one tiny job.
+
+    ``encoding_strict=True`` probes EVERY file — one tiny job per file,
+    the documented cost of a hard guarantee on heterogeneous datasets.
+    In the default budgeted mode, files beyond ``max_probe_files`` are
+    accepted unprobed and the skipped count is surfaced as a logged
+    warning (round-3 VERDICT #9)."""
+    import logging
+
     last_err: Exception | None = None
     infer = options.pop("inferSchema", True)
     for enc in CSV_ENCODINGS:
@@ -75,6 +81,15 @@ def read_csv(
                     return int(row[0] or 0)
 
                 files = sorted(df.inputFiles())
+                probe_list = files if encoding_strict else files[:max_probe_files]
+                n_skipped = len(files) - len(probe_list)
+                if n_skipped > 0:
+                    logging.getLogger(__name__).warning(
+                        "read_csv: probed %d of %d files for encoding "
+                        "'%s'; %d files accepted unprobed (raise "
+                        "max_probe_files or pass encoding_strict=True)",
+                        len(probe_list), len(files), enc, n_skipped,
+                    )
                 per_file = (
                     spark.read.schema(df.schema)
                     .option("header", True)
@@ -82,7 +97,7 @@ def read_csv(
                     .options(**options)
                 )
                 probes = (
-                    [per_file.csv(f) for f in files[:max_probe_files]]
+                    [per_file.csv(f) for f in probe_list]
                     if len(files) > 1
                     else [df]
                 )

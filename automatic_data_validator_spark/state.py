@@ -269,3 +269,122 @@ class CheckpointRegistry:
             shutil.rmtree(e["path"], ignore_errors=True)
             removed.append(e["path"])
         return removed
+
+
+# --- run-level summary rollup (reference logger.py:315-358, 452-493) --------
+
+RUN_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("phase", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("partitions", T.LongType(), True),
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("violation_count", T.LongType(), True),
+        T.StructField("pass_rate", T.DoubleType(), True),
+        T.StructField("passed", T.BooleanType(), True),
+    ]
+)
+
+
+def run_summary(
+    lineage: DataFrame, verdicts: DataFrame | None = None
+) -> DataFrame:
+    """Aggregate a run's lineage (+ optionally its verdicts) into the
+    run-level summary the reference prints after every session
+    (logger.py:315-358 ``get_session_summary`` totals + :452-493
+    ``get_performance_metrics`` per-op durations): one row per
+    (phase, op) with duration, checked rows, violation total and
+    pass-rate, plus a ``__run__/__total__`` row carrying total
+    duration (sum of per-phase durations — phases overlap in wall
+    clock, so this is cumulative compute time, like the reference's
+    total_execution_time), total violations, and overall pass state.
+
+    ``partitions`` is the per-rule verdict-row count (and ``passed``
+    the all-partitions-pass flag) when ``verdicts`` is given; lineage
+    alone carries one row per partition only in default verdict mode.
+    The inputs are small by construction (aggregates, never raw rows),
+    so the rollup itself is driver-side over one collect of each.
+    """
+    spark = lineage.sparkSession
+    per = (
+        lineage.groupBy("phase", "op")
+        .agg(
+            F.max("duration_s").alias("duration_s"),
+            F.count(F.lit(1)).alias("lineage_rows"),
+            F.sum("row_count").alias("row_count"),
+            F.sum("violation_count").alias("violation_count"),
+        )
+        .collect()
+    )
+    vstats: dict[str, tuple[int, int]] = {}
+    if verdicts is not None:
+        for r in (
+            verdicts.groupBy("rule_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((~F.col("pass")).cast("long")).alias("failed"),
+            )
+            .collect()
+        ):
+            vstats[r["rule_id"]] = (int(r["n"]), int(r["failed"]))
+
+    rows: list[tuple] = []
+    phase_durations: dict[str, float] = {}
+    tot_rows = 0
+    tot_viol = 0
+    for r in sorted(per, key=lambda r: (r["phase"], r["op"])):
+        rc = int(r["row_count"] or 0)
+        vc = int(r["violation_count"] or 0)
+        tot_rows += rc
+        tot_viol += vc
+        if r["duration_s"] is not None:
+            phase_durations[r["phase"]] = max(
+                phase_durations.get(r["phase"], 0.0), float(r["duration_s"])
+            )
+        n_parts, failed = vstats.get(r["op"], (None, None))
+        rows.append(
+            (
+                r["phase"],
+                r["op"],
+                float(r["duration_s"]) if r["duration_s"] is not None else None,
+                int(n_parts) if n_parts is not None else int(r["lineage_rows"]),
+                rc,
+                vc,
+                (1.0 - vc / rc) if rc > 0 else None,
+                (failed == 0) if failed is not None else (vc == 0),
+            )
+        )
+    rows.append(
+        (
+            "__run__",
+            "__total__",
+            round(sum(phase_durations.values()), 3) if phase_durations else None,
+            None,
+            tot_rows,
+            tot_viol,
+            (1.0 - tot_viol / tot_rows) if tot_rows > 0 else None,
+            tot_viol == 0,
+        )
+    )
+    return spark.createDataFrame(rows, RUN_SUMMARY_SCHEMA)
+
+
+def export_summary(summary: DataFrame, path: str, fmt: str = "json") -> str:
+    """Write a run_summary frame as a single driver-local json/csv file
+    (reference logger.py:360-421 ``export_logs`` analog — the summary
+    is a tiny aggregate, never cluster data). Returns the path."""
+    rows = [r.asDict() for r in summary.collect()]
+    if fmt == "json":
+        with open(path, "w") as f:
+            json.dump(rows, f, indent=2)
+    elif fmt == "csv":
+        import csv
+
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(RUN_SUMMARY_SCHEMA.names))
+            w.writeheader()
+            w.writerows(rows)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")
+    return path

@@ -578,3 +578,102 @@ def cleaning_suggestions(
             "Tokenize text",
         ]
     return out
+
+
+# --- before/after change report (reference text_processor.py:645-718) -------
+
+def text_change_report(
+    original: DataFrame, cleaned: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level before/after text-change report — the distributed
+    analog of the reference's per-text ``generate_text_report`` /
+    ``_analyze_text_changes`` / ``_compare_text_quality``
+    (text_processor.py:645-718): character/word/sentence/vocabulary
+    change, removed-element counts (urls/emails/html tags), derived
+    quality terms (average_chars_per_word, vocabulary_richness), and
+    resolved-issue doc counts (contains_html / contains_urls /
+    encoding_issues), as long-format rows
+    ``(metric, before, after, change)``.
+
+    Cost model: ONE fused aggregation per side (every term is an
+    algebraic sum over a narrow projection — no shuffle beyond the
+    final one-row agg); the driver assembles the tiny report frame.
+    NULL texts count as empty strings on both sides.
+    """
+    spark = original.sparkSession
+
+    def side(df: DataFrame) -> dict:
+        c = F.coalesce(F.col(text_col), F.lit(""))
+        t = F.trim(c)
+        words = F.split(F.trim(F.lower(c)), r"\s+")
+        n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words))
+        n_distinct = F.when(t == "", F.lit(0)).otherwise(
+            F.size(F.array_distinct(words))
+        )
+        n_sentences = F.size(
+            F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != "")
+        )
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(c)).alias("total_chars"),
+            F.sum(n_words).alias("total_words"),
+            F.sum(n_sentences).alias("total_sentences"),
+            F.sum(n_distinct).alias("distinct_words"),
+            F.sum(F.regexp_count(c, F.lit(config.TEXT_PATTERNS["url"]))).alias("urls"),
+            F.sum(F.regexp_count(c, F.lit(config.TEXT_PATTERNS["email"]))).alias("emails"),
+            F.sum(
+                F.regexp_count(c, F.lit(config.TEXT_PATTERNS["html_tag"]))
+            ).alias("html_tags"),
+            F.sum(c.rlike(config.TEXT_PATTERNS["html_tag"]).cast("long")).alias(
+                "docs_with_html"
+            ),
+            F.sum(c.rlike(config.TEXT_PATTERNS["url"]).cast("long")).alias(
+                "docs_with_urls"
+            ),
+            F.sum(has_encoding_artifacts(c).cast("long")).alias(
+                "docs_with_encoding_artifacts"
+            ),
+        ).collect()[0]
+        return {k: float(row[k] or 0) for k in row.asDict()}
+
+    b = side(original)
+    a = side(cleaned)
+
+    rows: list[tuple] = []
+    for m in (
+        "n_docs",
+        "total_chars",
+        "total_words",
+        "total_sentences",
+        "distinct_words",
+        "urls",
+        "emails",
+        "html_tags",
+        "docs_with_html",
+        "docs_with_urls",
+        "docs_with_encoding_artifacts",
+    ):
+        rows.append((m, b[m], a[m], a[m] - b[m]))
+    # derived quality terms (reference _compare_text_quality wording)
+    acw_b = b["total_chars"] / max(b["total_words"], 1.0)
+    acw_a = a["total_chars"] / max(a["total_words"], 1.0)
+    rows.append(("average_chars_per_word", acw_b, acw_a, acw_a - acw_b))
+    vr_b = b["distinct_words"] / max(b["total_words"], 1.0)
+    vr_a = a["distinct_words"] / max(a["total_words"], 1.0)
+    rows.append(("vocabulary_richness", vr_b, vr_a, vr_a - vr_b))
+    # reference summary terms: length_reduction + reduction_percentage
+    red = b["total_chars"] - a["total_chars"]
+    rows.append(("length_reduction", b["total_chars"], a["total_chars"], -red))
+    pct = (red / b["total_chars"] * 100.0) if b["total_chars"] > 0 else 0.0
+    rows.append(("reduction_percentage", None, None, pct))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("before", T.DoubleType(), True),
+            T.StructField("after", T.DoubleType(), True),
+            T.StructField("change", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -319,55 +319,62 @@ def run_validation(
     metrics = None
     metrics_future = None
     quantile_future = None
-    with ThreadPoolExecutor(max_workers=max(len(tasks) + 3, 2)) as pool:
-        rr_future = pool.submit(row_rules_task) if row_rules else None
-        if with_profile:
-            if ckpt and ckpt.is_done("profile"):
-                # resume: read the checkpointed metrics back instead of
-                # re-running the full profile scan
-                metrics_future = None
-                metrics = ckpt.read(spark, "profile", "metrics")
-            elif use_fused:
-                # partials ride the (possibly still running) row_rules
-                # scan; only the column-pruned quantile pass reads the
-                # input again, and it can start immediately
-                if fused_plan.quantile_cols:
-                    quantile_future = pool.submit(
-                        profile_quantiles,
-                        documents,
-                        fused_plan.quantile_cols,
+    # try/finally: the fused per-partition frame is persisted inside a
+    # pool task — a phase exception must still release it, or the cache
+    # entry leaks for the session's lifetime (round-3 ADVICE)
+    try:
+        with ThreadPoolExecutor(max_workers=max(len(tasks) + 3, 2)) as pool:
+            rr_future = pool.submit(row_rules_task) if row_rules else None
+            if with_profile:
+                if ckpt and ckpt.is_done("profile"):
+                    # resume: read the checkpointed metrics back instead
+                    # of re-running the full profile scan
+                    metrics_future = None
+                    metrics = ckpt.read(spark, "profile", "metrics")
+                elif use_fused:
+                    # partials ride the (possibly still running)
+                    # row_rules scan; only the column-pruned quantile
+                    # pass reads the input again, and it can start
+                    # immediately
+                    if fused_plan.quantile_cols:
+                        quantile_future = pool.submit(
+                            profile_quantiles,
+                            documents,
+                            fused_plan.quantile_cols,
+                        )
+                else:
+                    # date-format probing is for string business
+                    # columns, not ids — skip (8 try_to_timestamp
+                    # exprs/string col)
+                    metrics_future = pool.submit(
+                        lambda: _profile(documents, detect_formats=False)
                     )
-            else:
-                # date-format probing is for string business columns,
-                # not ids — skip (8 try_to_timestamp exprs/string col)
-                metrics_future = pool.submit(
-                    lambda: _profile(documents, detect_formats=False)
+            phase_futures = [
+                (name, pool.submit(run_phase, name, fn)) for name, fn in tasks
+            ]
+            if rr_future is not None:
+                rr_future.result()
+            for _name, fut in phase_futures:
+                fut.result()
+            if fused_state and with_profile and metrics is None:
+                prof = finalize_partial_profile(
+                    fused_state["per_part"], fused_plan
                 )
-        phase_futures = [
-            (name, pool.submit(run_phase, name, fn)) for name, fn in tasks
-        ]
-        if rr_future is not None:
-            rr_future.result()
-        for _name, fut in phase_futures:
-            fut.result()
-        if fused_state and with_profile and metrics is None:
-            prof = finalize_partial_profile(
-                fused_state["per_part"], fused_plan
-            )
-            if quantile_future is not None:
-                from .profile import _suggest
+                if quantile_future is not None:
+                    from .profile import _suggest
 
-                for c, qs in quantile_future.result().items():
-                    prof.stats.setdefault(c, {}).update(qs)
-                prof.suggestions = _suggest(prof)
-            metrics = prof.metrics_df(spark)
-        elif metrics_future is not None:
-            metrics = metrics_future.result().metrics_df(spark)
-        if metrics is not None and ckpt and not ckpt.is_done("profile"):
-            ckpt.write("profile", "metrics", metrics)
-            ckpt.mark_done("profile")
-    if fused_state:
-        fused_state["per_part"].unpersist()
+                    for c, qs in quantile_future.result().items():
+                        prof.stats.setdefault(c, {}).update(qs)
+                    prof.suggestions = _suggest(prof)
+                metrics = prof.metrics_df(spark)
+            elif metrics_future is not None:
+                metrics = metrics_future.result().metrics_df(spark)
+            if metrics is not None and ckpt and not ckpt.is_done("profile"):
+                ckpt.write("profile", "metrics", metrics)
+                ckpt.mark_done("profile")
+    finally:
+        if fused_state:
+            fused_state["per_part"].unpersist()
 
     if not verdict_dfs:
         # nothing ran (empty rule set, no uniqueness, no catalog):

@@ -99,14 +99,24 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     from automatic_data_validator_spark.sources import write_outputs_parallel
+    from automatic_data_validator_spark.state import run_summary
 
+    summary = run_summary(res.lineage, res.verdicts)
     outputs = {"verdicts": res.verdicts, "violations": res.violations,
-               "lineage": res.lineage}
+               "lineage": res.lineage, "run_summary": summary}
     if res.metrics is not None:
         outputs["metrics"] = res.metrics
     write_outputs_parallel(outputs, args.output)
 
     ok = res.passed()
+    # the reference prints its session summary after every run
+    # (logger.py:315-358); mirror the headline totals on stdout
+    tot = next(r for r in summary.collect() if r["phase"] == "__run__")
+    print(
+        f"run summary: phases_duration_s={tot['duration_s']} "
+        f"checked_rows={tot['row_count']} violations={tot['violation_count']} "
+        f"pass_rate={tot['pass_rate']}"
+    )
     print(f"validation {'PASSED' if ok else 'FAILED'}; outputs at {args.output}")
     if owns_session:
         spark.stop()
