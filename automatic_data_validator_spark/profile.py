@@ -241,7 +241,15 @@ class PartialProfilePlan:
     nn_alias: dict[str, str] = field(default_factory=dict)
     mom_aliases: dict[str, dict[str, str]] = field(default_factory=dict)
     quantile_cols: list[str] = field(default_factory=list)
+    grid_aliases: dict[str, str] = field(default_factory=dict)
     column_types: dict[str, str] = field(default_factory=dict)
+
+
+# fused-quantile grid resolution: each partition contributes its
+# (j/32)-quantiles, j=0..32; the merge error is bounded by the grid
+# step (~1/32 of one partition's mass, so < ~3% rank error globally,
+# shrinking as partition sizes even out)
+_FUSED_QUANTILE_GRID = 33
 
 
 def build_partial_profile(
@@ -249,9 +257,25 @@ def build_partial_profile(
     columns: list[str] | None = None,
     detect_formats: bool = False,
     distinct_nested: bool = False,
+    fused_quantiles: bool = False,
 ) -> PartialProfilePlan:
     """Build per-group partial expressions mirroring build_profile_exprs
-    metric for metric (same names, same reference semantics)."""
+    metric for metric (same names, same reference semantics).
+
+    fused_quantiles=True rides q1/median/q3 in the SAME per-partition
+    aggregate (no extra input pass): each partition emits a 33-point
+    quantile grid per numeric column (percentile_approx is itself an
+    aggregate, so the grid rides the fused scan), and the finalize step
+    merges grids as weighted samples with the exact ``percentile``
+    aggregate over the tiny partial frame. This was round-3 VERDICT
+    directive #10's "t-digest partials" idea — a Python t-digest cannot
+    ride a Catalyst hash aggregate, but a per-partition quantile grid
+    is the same mergeable-sketch shape with JVM-only machinery. The
+    merged value is a documented approximation (rank error ≲ grid step
+    within each partition) vs the default column-pruned
+    percentile_approx pass; opt in via
+    profile_partitioned(quantile_impl='fused') /
+    run_validation(quantile_impl='fused')."""
     cols = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     plan = PartialProfilePlan(
@@ -307,7 +331,17 @@ def build_partial_profile(
             add(_cnt(d == 0.0), c, "sum", "zero_count")
             add(_cnt(d < 0.0), c, "sum", "negative_count")
             add(_cnt(d == F.floor(d).cast("double")), c, "sum", "integer_like_count")
-            plan.quantile_cols.append(c)
+            if fused_quantiles:
+                g = _FUSED_QUANTILE_GRID
+                levels = F.array(
+                    *[F.lit(j / (g - 1)) for j in range(g)]
+                )
+                plan.grid_aliases[c] = add(
+                    F.percentile_approx(d, levels, config.PERCENTILE_ACCURACY),
+                    c, "grid", "quantile_grid",
+                )
+            else:
+                plan.quantile_cols.append(c)
         elif isinstance(dt, T.StringType):
             ln = F.length(col)
             add(F.min(ln), c, "min", "len_min")
@@ -410,6 +444,51 @@ def finalize_partial_profile(
                 "M4": float(row2[f"M4_{moms['m4']}"] or 0.0),
             }
 
+    # fused-quantile grid merge: every partition's 33-point grid is a
+    # weighted sample of its rows (each point stands for n_i/33 of
+    # them), so pooling all points with frequency n_i and taking the
+    # EXACT percentile over the pooled multiset merges the sketches —
+    # one aggregation over the partial frame, the input is never read
+    grid_q: dict[str, dict[str, float | None]] = {}
+    if plan.grid_aliases:
+        parts = ", ".join(
+            "'{lbl}', `{g}`, `{nn}`".format(
+                lbl=c.replace("\\", "\\\\").replace("'", "\\'"),
+                g=plan.grid_aliases[c],
+                nn=plan.nn_alias[c],
+            )
+            for c in plan.grid_aliases
+        )
+        pooled = (
+            partial_df.select(
+                F.expr(
+                    f"stack({len(plan.grid_aliases)}, {parts}) "
+                    "as (col_name, _grid, _nn)"
+                )
+            )
+            .filter(F.col("_nn") > 0)
+            .filter(F.col("_grid").isNotNull())
+            .select("col_name", F.explode("_grid").alias("_v"), "_nn")
+            .filter(F.col("_v").isNotNull())
+        )
+        for r in (
+            pooled.groupBy("col_name")
+            .agg(
+                F.percentile(
+                    "_v",
+                    F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                    F.col("_nn"),
+                ).alias("qs")
+            )
+            .collect()
+        ):
+            qs = r["qs"]
+            grid_q[r["col_name"]] = {
+                "q1": None if qs is None or qs[0] is None else float(qs[0]),
+                "median": None if qs is None or qs[1] is None else float(qs[1]),
+                "q3": None if qs is None or qs[2] is None else float(qs[2]),
+            }
+
     stats: dict[str, dict[str, float | None]] = {}
     row_count = 0
     for alias, c, kind, metric in plan.specs:
@@ -417,6 +496,11 @@ def finalize_partial_profile(
             row_count = int(row1[alias] or 0)
             continue
         st = stats.setdefault(c, {})
+        if kind == "grid":
+            st.update(
+                grid_q.get(c, {"q1": None, "median": None, "q3": None})
+            )
+            continue
         v = row1.get(alias)
         if kind == "sum":
             # count-backed partials (F.count in stage A) are 0 on empty
@@ -508,14 +592,23 @@ def profile_partitioned(
     detect_formats: bool = False,
     distinct_nested: bool = False,
     with_quantiles: bool = True,
+    quantile_impl: str = "approx",
 ) -> ProfileResult:
     """Standalone fused-scan profile: one pass grouped by
     ``spark_partition_id()`` + the merge aggregations (+ the pruned
     quantile pass when numeric columns exist). Same metric names and
     reference semantics as profile(); distinct counts use the HLL
     sketch family instead of approx_count_distinct. run_validation goes
-    further and shares the partial scan with the row rules."""
-    plan = build_partial_profile(df, columns, detect_formats, distinct_nested)
+    further and shares the partial scan with the row rules.
+
+    quantile_impl: 'approx' (default) = one extra column-pruned
+    percentile_approx pass; 'fused' = q1/median/q3 ride the fused scan
+    as per-partition quantile grids (ONE total input pass for numeric
+    tables; documented approximation, see build_partial_profile)."""
+    plan = build_partial_profile(
+        df, columns, detect_formats, distinct_nested,
+        fused_quantiles=(with_quantiles and quantile_impl == "fused"),
+    )
     part = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(*plan.exprs)

@@ -64,6 +64,7 @@ def run_validation(
     check_uniqueness: bool = True,
     verdict_spill_threshold: int = 100_000,
     fused_profile: bool = True,
+    quantile_impl: str = "approx",
 ) -> ValidationResult:
     """See module docstring. verdict_spill_threshold: when the input
     has more partitions than this, per-partition verdicts are NOT
@@ -207,8 +208,15 @@ def run_validation(
         and not (ckpt and ckpt.is_done("row_rules"))
     )
 
+    # quantile_impl='fused' rides q1/median/q3 in the shared scan as
+    # per-partition grids — numeric tables then need NO extra quantile
+    # pass (documented approximation, profile.build_partial_profile)
     fused_plan = (
-        build_partial_profile(documents, detect_formats=False)
+        build_partial_profile(
+            documents,
+            detect_formats=False,
+            fused_quantiles=(quantile_impl == "fused" and with_profile),
+        )
         if use_fused
         else None
     )

@@ -162,6 +162,20 @@ def main() -> None:
     log(f"validate_e2e: {dt:.3f}s on {n_docs} docs -> {docs_per_sec} docs/s "
         f"({n_viol} violation rows, best of 2)")
 
+    # untimed: the run-level rollup the reference prints per session
+    # (state.run_summary; round-3 VERDICT directive #4)
+    from automatic_data_validator_spark.state import run_summary
+
+    tot = next(
+        r for r in run_summary(res.lineage, res.verdicts).collect()
+        if r["phase"] == "__run__"
+    )
+    log(
+        f"run summary: phases_duration_s={tot['duration_s']} "
+        f"checked_rows={tot['row_count']} violations={tot['violation_count']} "
+        f"pass_rate={tot['pass_rate']}"
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

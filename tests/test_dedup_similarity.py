@@ -580,3 +580,70 @@ def test_connected_dup_groups_string_ids(spark):
     got = {r["doc_id"]: r["component"] for r in comps.collect()}
     comps.unpersist()
     assert got == {"d1": "d1", "d2": "d1", "d3": "d1"}
+
+
+def test_hot_prefixes_driver_histogram_bounded(spark, monkeypatch):
+    """Round-3 VERDICT hygiene #1: the share threshold applies
+    CLUSTER-side, so the driver receives at most floor(1/threshold)
+    histogram rows even under near-uniform prefixes — while a genuinely
+    hot prefix is still returned."""
+    import math
+
+    import pyspark.sql as psql
+
+    from automatic_data_validator_spark import config
+
+    uniform = spark.range(4000).select(
+        F.format_string("u%07d-doc", "id").alias("doc_id")
+    )
+    hot = spark.range(1000).select(
+        F.format_string("HOTPREFX-%d", "id").alias("doc_id")
+    )
+    df = uniform.unionByName(hot)
+
+    sizes: list[int] = []
+    cls = type(df)  # the concrete (classic) DataFrame class
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    got = D.hot_prefixes(df, "doc_id", prefix_len=8, sample_fraction=1.0)
+    assert got == ["HOTPREFX"]
+    assert sizes and max(sizes) <= math.floor(1 / config.HOT_PREFIX_SHARE)
+
+
+def test_connected_components_single_action_per_round(spark, monkeypatch):
+    """Round-3 VERDICT hygiene #4: each round materializes via ONE
+    checksum aggregate — no join-based changed probe, no .count()
+    probes. A triangle converges after one propagation round, so the
+    whole call performs exactly two collect-actions."""
+    import pyspark.sql as psql
+
+    clique = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 10, 20], "id_b": [20, 30, 30]})
+    )
+    n_collects: list[int] = []
+    n_counts: list[int] = []
+    cls = type(clique)
+    oc, on = cls.collect, cls.count
+
+    def spy_collect(self):
+        n_collects.append(1)
+        return oc(self)
+
+    def spy_count(self):
+        n_counts.append(1)
+        return on(self)
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    monkeypatch.setattr(cls, "count", spy_count)
+    comps = D.connected_dup_groups(clique)
+    assert len(n_collects) == 2, n_collects
+    assert len(n_counts) == 0
+    got = {r["doc_id"]: r["component"] for r in oc(comps)}
+    comps.unpersist()
+    assert got == {10: 10, 20: 10, 30: 10}

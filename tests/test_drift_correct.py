@@ -344,3 +344,141 @@ def test_apply_plan_skips_type_incompatible_imputations(spark):
     assert rows["a"]["s"] is None            # NOT coerced to '2.5'
     assert rows["a"]["v"] == big             # exact bigint fill
     assert rows["b"]["s"] == "keep"
+
+
+def test_apply_plan_imputes_nan_in_float_columns(spark):
+    """Round-3 ADVICE: df.na.fill (and the reference's pandas fillna)
+    replace NaN as well as NULL in floating columns — coalesce alone
+    left NaN behind. The imputed value must then flow through the cap
+    step like any other."""
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").cast("int").alias("k"),
+        F.when(F.col("id") == 0, F.lit(1.0))
+        .when(F.col("id") == 1, F.expr("double('NaN')"))
+        .when(F.col("id") == 2, F.lit(None).cast("double"))
+        .otherwise(F.lit(100.0))
+        .alias("x"),
+    )
+    plan = CorrectionPlan(
+        dedup_keys=["k"], order_key="k",
+        imputations={"x": 5.0}, caps={"x": (0.0, 50.0)},
+    )
+    rows = {r["k"]: r["x"] for r in apply_plan(df, plan).collect()}
+    assert rows == {0: 1.0, 1: 5.0, 2: 5.0, 3: 50.0}, rows
+    assert not any(math.isnan(v) for v in rows.values())
+
+
+def test_sketch_partials_bound_driver_rows(spark):
+    """Round-3 VERDICT hygiene #2: the two-level merge must deliver at
+    most combine_buckets rows per column to the driver even when the
+    input has far more partitions — and the merged digest must still be
+    accurate."""
+    from automatic_data_validator_spark.drift import _sketch_partials
+
+    rng = np.random.RandomState(7)
+    vals = rng.normal(10, 2, 20_000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": vals, "b": vals * 3})
+    ).repartition(64)
+    k = 4
+    part = _sketch_partials(df, ["a", "b"], combine_buckets=k)
+    assert part.count() <= k * 2
+    sk = sketch_columns(df, ["a", "b"], combine_buckets=k)
+    local = TDigest.from_values(vals)
+    for q in (0.25, 0.5, 0.75):
+        assert abs(sk["a"].quantile(q) - local.quantile(q)) < 0.1
+    assert sk["b"].total_weight == 20_000
+
+
+def test_run_summary_matches_hand_computed(spark):
+    """Round-3 VERDICT directive #4: the rollup vs hand-computed values
+    from a run's lineage (reference logger.py get_session_summary /
+    get_performance_metrics analog)."""
+    from automatic_data_validator_spark.rules import VERDICT_SCHEMA
+    from automatic_data_validator_spark.state import (
+        LINEAGE_SCHEMA,
+        export_summary,
+        run_summary,
+    )
+
+    lineage = spark.createDataFrame(
+        [
+            ("row_rules", 0, "s", "v1", 1.0, 2.5, "not_null", 100, 0),
+            ("row_rules", 1, "s", "v1", 1.0, 2.5, "not_null", 50, 10),
+            ("row_rules", 0, "s", "v1", 1.0, 2.5, "span_order", 100, 5),
+            ("row_rules", 1, "s", "v1", 1.0, 2.5, "span_order", 50, 0),
+            ("uniqueness", 0, "s", "v1", 1.0, 4.0, "unique_key", 150, 30),
+        ],
+        LINEAGE_SCHEMA,
+    )
+    verdicts = spark.createDataFrame(
+        [
+            (0, "not_null", 100, 0, True),
+            (1, "not_null", 50, 10, False),
+            (0, "span_order", 100, 5, False),
+            (1, "span_order", 50, 0, True),
+            (0, "unique_key", 150, 30, False),
+        ],
+        VERDICT_SCHEMA,
+    )
+    rows = {(r["phase"], r["op"]): r for r in run_summary(lineage, verdicts).collect()}
+    nn = rows[("row_rules", "not_null")]
+    assert nn["duration_s"] == 2.5
+    assert nn["partitions"] == 2
+    assert nn["row_count"] == 150 and nn["violation_count"] == 10
+    assert math.isclose(nn["pass_rate"], 1.0 - 10 / 150)
+    assert nn["passed"] is False
+    so = rows[("row_rules", "span_order")]
+    assert so["violation_count"] == 5 and so["passed"] is False
+    uk = rows[("uniqueness", "unique_key")]
+    assert uk["partitions"] == 1 and uk["duration_s"] == 4.0
+    tot = rows[("__run__", "__total__")]
+    # phase durations: row_rules 2.5 + uniqueness 4.0 (not per-op sums)
+    assert tot["duration_s"] == 6.5
+    assert tot["row_count"] == 450 and tot["violation_count"] == 45
+    assert math.isclose(tot["pass_rate"], 1.0 - 45 / 450)
+    assert tot["passed"] is False
+    # export round-trips as json and csv
+    import json as _json
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = export_summary(run_summary(lineage, verdicts), os.path.join(d, "s.json"))
+        data = _json.load(open(p))
+        assert len(data) == 4 and any(r["phase"] == "__run__" for r in data)
+        p2 = export_summary(
+            run_summary(lineage, verdicts), os.path.join(d, "s.csv"), fmt="csv"
+        )
+        assert open(p2).readline().startswith("phase,op,duration_s")
+
+
+def test_text_change_report_counts(spark):
+    """text_change_report vs hand-computed terms on a tiny corpus
+    (reference text_processor.py:645-718 wording)."""
+    from automatic_data_validator_spark.textops import clean_text, text_change_report
+    from pyspark.sql import functions as F
+
+    orig = spark.createDataFrame(
+        [
+            (1, "Hello world. Visit https://x.co <b>now</b>!"),
+            (2, "plain text only"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    cleaned = orig.select("doc_id", clean_text("text").alias("text"))
+    rep = {r["metric"]: r for r in text_change_report(orig, cleaned).collect()}
+    assert rep["n_docs"]["before"] == 3.0 and rep["n_docs"]["after"] == 3.0
+    assert rep["urls"]["before"] == 1.0 and rep["urls"]["after"] == 0.0
+    assert rep["html_tags"]["before"] == 2.0 and rep["html_tags"]["after"] == 0.0
+    assert rep["docs_with_html"]["before"] == 1.0
+    # doc 1: "Hello world. Visit !" after cleaning -> chars shrink
+    assert rep["total_chars"]["after"] < rep["total_chars"]["before"]
+    assert rep["length_reduction"]["change"] < 0
+    assert rep["reduction_percentage"]["change"] > 0
+    # words: doc1 5 ws-tokens -> 5 ("<b>now</b>!" -> "now !"), doc2 3
+    assert rep["total_words"]["before"] == 8.0
+    assert rep["total_words"]["after"] == 8.0

@@ -270,3 +270,79 @@ def test_fused_profile_in_spill_mode_matches_default(spark, docs, catalog):
     assert sorted(map(tuple, base.verdicts.collect())) == sorted(
         map(tuple, spilled.verdicts.collect())
     )
+
+
+def test_fused_quantiles_match_approx_within_tolerance(spark):
+    """quantile_impl='fused' (round-3 VERDICT directive #10): grid-
+    merged q1/median/q3 must track the default percentile_approx pass
+    within the documented grid-step tolerance, and every non-quantile
+    metric must be identical to the default fused path."""
+    df = _mixed_frame(spark)
+    approx = profile_partitioned(df, detect_formats=False)
+    fused = profile_partitioned(df, detect_formats=False, quantile_impl="fused")
+    for c, st in approx.stats.items():
+        for m, v in st.items():
+            got = fused.stats.get(c, {}).get(m, "MISSING")
+            if m in ("q1", "median", "q3"):
+                if v is None:
+                    assert got is None, (c, m, got)
+                else:
+                    # grid rank error ≲ 1/32 within a partition: allow
+                    # 5% of the column's value range
+                    rng = (approx.stats[c]["max"] or 0) - (
+                        approx.stats[c]["min"] or 0
+                    )
+                    assert got != "MISSING" and got is not None, (c, m)
+                    assert abs(got - v) <= max(0.05 * rng, 1e-9), (c, m, v, got)
+            elif m == "distinct_count":
+                assert _close(got, v, rtol=0.2), (c, m, v, got)
+            else:
+                assert _close(got, v, rtol=1e-6), (c, m, v, got)
+    assert fused.stats["all_null"]["median"] is None
+
+
+def test_fused_quantiles_single_input_pass(spark, tmp_path_factory):
+    """The point of the opt-in: a numeric table profiles in ONE input
+    pass under quantile_impl='fused' (vs two with the default separate
+    quantile pass)."""
+    base = tmp_path_factory.mktemp("fusedq")
+    n = 30_000
+    spark.range(0, n, 1, 8).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") % 101).cast("double").alias("b"),
+    ).write.parquet(str(base / "t"))
+
+    def passes(quantile_impl: str) -> float:
+        spark.catalog.clearCache()
+        df = spark.read.parquet(str(base / "t"))
+        r0 = _input_records(spark)
+        profile_partitioned(df, detect_formats=False, quantile_impl=quantile_impl)
+        return (_input_records(spark) - r0) / n
+
+    assert passes("approx") >= 1.8
+    assert passes("fused") <= 1.2
+
+
+def test_run_validation_fused_quantile_impl(spark):
+    """run_validation(quantile_impl='fused') on a numeric table: same
+    metric keys as the default, quantiles within tolerance, and no
+    separate quantile job needed."""
+    df = spark.range(0, 10_000, 1, 6).select(
+        F.concat(F.lit("k"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("val"),
+    )
+    from automatic_data_validator_spark import rules as R
+
+    rs = [R.Rule("nn_doc", "not_null", column="doc_id")]  # enables fusion
+    default = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=True
+    )
+    fused = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=True,
+        quantile_impl="fused",
+    )
+    dm = {(r["column"], r["metric"]): r["value"] for r in default.metrics.collect()}
+    fm = {(r["column"], r["metric"]): r["value"] for r in fused.metrics.collect()}
+    assert set(dm) == set(fm)
+    for m in ("q1", "median", "q3"):
+        assert abs(fm[("val", m)] - dm[("val", m)]) <= 5.0, (m, dm[("val", m)], fm[("val", m)])

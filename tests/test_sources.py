@@ -125,3 +125,29 @@ def test_csv_encoding_probe_catches_late_file_mojibake(spark, tmp_path):
     names = {r["name"] for r in df.collect()}
     assert "café" in names and "naïve" in names, names
     assert not any("�" in n for n in names)
+
+
+def test_csv_probe_budget_strict_and_skip_warning(spark, tmp_path, caplog):
+    """Round-3 VERDICT #9: the default probe budget logs how many files
+    it accepted unprobed (here the mojibake in file 25 slips through),
+    and encoding_strict=True probes every file and catches it."""
+    import logging
+
+    d = tmp_path / "many_enc"
+    d.mkdir()
+    for i in range(24):
+        (d / f"f{i:02d}.csv").write_text(
+            f"name,qty\nrow{i},1\n", encoding="utf-8"
+        )
+    (d / "zz_latin.csv").write_bytes(b"name,qty\ncaf\xe9,3\n")
+    with caplog.at_level(
+        logging.WARNING, logger="automatic_data_validator_spark.sources"
+    ):
+        df = S.read_csv(spark, str(d))
+    assert any("accepted unprobed" in r.getMessage() for r in caplog.records)
+    names = {r["name"] for r in df.collect()}
+    assert any("�" in (n or "") for n in names)  # budget mode: slipped
+    strict = S.read_csv(spark, str(d), encoding_strict=True)
+    snames = {r["name"] for r in strict.collect()}
+    assert "café" in snames
+    assert not any("�" in (n or "") for n in snames)
