@@ -260,3 +260,34 @@ def file_stats(df: DataFrame) -> dict:
         else:
             kinds["nested"] += 1
     return {"rows": n, "columns": len(df.columns), "column_kinds": kinds}
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    num_buckets: int = 64,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a parquet table BUCKETED by ``bucket_key``: rows are
+    hash-co-located at write time, so every later aggregation or join
+    keyed on ``bucket_key`` reads pre-partitioned data and plans with
+    NO Exchange (the FileScan itself reports the bucket partitioning).
+
+    The 100-TB story: validation re-runs the same keyed operations
+    (uniqueness groupBy on doc_id, dedup joins) over the same corpus
+    on every snapshot — writing the table bucketed once amortizes that
+    shuffle across every subsequent run, and skew salting becomes
+    unnecessary for the bucketed key because the bucket hash already
+    spreads identical keys' FILES (a hot key still lands in one bucket,
+    so keep ``num_buckets`` high enough that one bucket fits an
+    executor). Managed-table form (`saveAsTable`) because Spark only
+    records bucketing metadata in the catalog — plain
+    ``.parquet(path)`` cannot express it."""
+    writer = (
+        df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_key)
+    )
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table_name)

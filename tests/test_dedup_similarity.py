@@ -647,3 +647,19 @@ def test_connected_components_single_action_per_round(spark, monkeypatch):
     got = {r["doc_id"]: r["component"] for r in oc(comps)}
     comps.unpersist()
     assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_simhash_bucket_cap_prevents_blowup(spark):
+    """Same spill-safe window-count cap as minhash LSH (round-3
+    ADVICE): a degenerate bucket of identical docs yields no pairs
+    under the cap instead of a quadratic expansion."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(500), "text": ["same text again"] * 500})
+    )
+    pairs = D.simhash_neardup_pairs(df, "id", "text", max_bucket_size=100)
+    assert pairs.count() == 0
+    # under the cap the identical docs all pair up at hamming 0
+    some = D.simhash_neardup_pairs(df.limit(40), "id", "text")
+    rows = some.collect()
+    assert len(rows) == 40 * 39 // 2
+    assert all(r["hamming"] == 0 for r in rows)

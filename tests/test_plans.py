@@ -53,3 +53,50 @@ def test_two_phase_salted_aggregation_shape(spark, docs):
     # phase 1 exchange keyed (doc_id, _salt), phase 2 keyed doc_id only
     assert "hashpartitioning(doc_id" in plan
     assert "_salt" in plan
+
+
+def test_bucketed_table_groupby_and_join_shuffle_free(spark):
+    """write_bucketed_table co-locates by key at write time: a
+    groupBy on the bucket key and a bucketed-bucketed equi-join both
+    plan WITHOUT any Exchange (the amortized-shuffle story for
+    repeated validations of the same corpus)."""
+    import pyspark.sql.functions as F2
+
+    from automatic_data_validator_spark.sources import write_bucketed_table
+
+    df = spark.range(0, 5000).select(
+        F2.concat(F2.lit("d"), F2.col("id") % 700).alias("doc_id"),
+        (F2.col("id") % 13).alias("v"),
+    )
+    for name in ("advs_bucketed_a", "advs_bucketed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(df, name, "doc_id", num_buckets=8)
+    try:
+        a = spark.table("advs_bucketed_a")
+        b = spark.table("advs_bucketed_b")
+        agg_plan = (
+            a.groupBy("doc_id").count()._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+        # merge hint: at test size the planner prefers broadcast (its
+        # BroadcastExchange would be cheaper still) — the 100-TB case
+        # is two fact-sized sides where SMJ is forced anyway
+        join_plan = (
+            a.hint("merge").join(b.hint("merge"), "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in join_plan, join_plan
+        assert "Exchange" not in join_plan, join_plan
+        # count survives the shuffle-free plans
+        assert a.groupBy("doc_id").count().count() == 700
+        # unbucketed source needs the shuffle — the assertion above is
+        # about bucketing, not AQE eliding exchanges generally
+        plain_plan = (
+            df.groupBy("doc_id").count()._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" in plain_plan
+    finally:
+        for name in ("advs_bucketed_a", "advs_bucketed_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
