@@ -153,3 +153,66 @@ def referential_stream(
         "media_ref",
         "left_anti",
     ).select("doc_id", "media_ref")
+
+
+def drift_stream(
+    stream_df: DataFrame,
+    baseline_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    columns: "list[str] | None" = None,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    trigger_seconds: int | None = None,
+):
+    """Per-micro-batch distribution drift vs a PERSISTED baseline
+    snapshot — the fifth check family for streams (after rules,
+    cross-batch uniqueness, windowed quality, referential), and the
+    payoff of mergeable sketches: the SAME t-digest partials the batch
+    profiler builds (drift.sketch_columns, two-level merge) run
+    unchanged inside ``foreachBatch``.
+
+    Each micro-batch is sketched, compared column-by-column against
+    the baseline saved by ``drift.save_baseline`` (re-loaded per batch,
+    so a refreshed baseline is picked up without restarting the query —
+    same semantics as referential_stream's static side), and one row
+    per column lands in ``{output_dir}/drift`` partitioned by
+    batch_id with dynamic-overwrite (idempotent on replay, like
+    validate_stream). Returns the StreamingQuery.
+    """
+    from .drift import drift_report, load_baseline
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        baseline = load_baseline(spark, baseline_path)
+        report = drift_report(
+            batch_df, baseline, columns,
+            ks_threshold=ks_threshold, psi_threshold=psi_threshold,
+        )
+        if not report:
+            return
+        rows = [
+            (r["column"], float(r["ks"]), float(r["psi"]), bool(r["drifted"]))
+            for r in report
+        ]
+        (
+            spark.createDataFrame(
+                rows, "column string, ks double, psi double, drifted boolean"
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/drift")
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -166,3 +166,44 @@ def test_referential_stream_flags_dangling_refs(spark, tmp_path, docs, catalog):
         if r["media_ref"] not in cat_refs
     }
     assert got == batch and got
+
+
+def test_drift_stream_flags_shifted_batch(spark, tmp_path):
+    """Streaming drift vs a persisted baseline: an in-distribution
+    micro-batch reports no drift, a mean-shifted one fires — per-batch
+    rows land partitioned by batch_id (round-4: fifth stream family)."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_data_validator_spark.drift import TDigest, save_baseline
+    from automatic_data_validator_spark.streaming import drift_stream
+
+    rng = np.random.RandomState(42)
+    base_vals = rng.normal(10.0, 1.0, 20_000)
+    save_baseline(
+        {"x": TDigest.from_values(base_vals)}, spark, str(tmp_path / "baseline")
+    )
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        pd.DataFrame({"x": rng.normal(10.0, 1.0, 5_000)})
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("x double").parquet(src)
+    q = drift_stream(
+        stream, str(tmp_path / "baseline"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), columns=["x"],
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            pd.DataFrame({"x": rng.normal(14.0, 1.0, 5_000)})
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "out") + "/drift").orderBy("batch_id")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert rows[0]["column"] == "x" and rows[0]["drifted"] is False
+    assert rows[1]["drifted"] is True and rows[1]["ks"] > 0.3
