@@ -182,3 +182,36 @@ def test_profile_phase_resumes_from_checkpoint(spark, docs, tmp_path):
     m1 = sorted(map(tuple, r1.metrics.collect()))
     r2 = run_validation(spark, docs, checkpoint_dir=ck, with_profile=True)
     assert sorted(map(tuple, r2.metrics.collect())) == m1
+
+
+def test_spill_mode_with_fused_quantiles(spark):
+    """The two scale paths compose: distributed verdicts (spill mode)
+    + fused quantile grids. Metrics must carry quantiles equal to the
+    default path's within the grid tolerance, and verdicts must be
+    identical."""
+    import pyspark.sql.functions as F2
+
+    from automatic_data_validator_spark import rules as R
+
+    df = spark.range(0, 20_000, 1, 8).select(
+        F2.concat(F2.lit("d"), F2.col("id")).alias("doc_id"),
+        (F2.col("id") % 211).cast("double").alias("val"),
+    )
+    rs = [R.Rule("nn", "not_null", column="doc_id")]
+    base = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=True
+    )
+    spilled = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=True,
+        verdict_spill_threshold=1, quantile_impl="fused",
+    )
+    bm = {(r["column"], r["metric"]): r["value"] for r in base.metrics.collect()}
+    sm = {(r["column"], r["metric"]): r["value"] for r in spilled.metrics.collect()}
+    assert set(bm) == set(sm)
+    for m in ("q1", "median", "q3"):
+        assert abs(sm[("val", m)] - bm[("val", m)]) <= 11.0, (m, bm[("val", m)], sm[("val", m)])
+    for m in ("mean", "std", "non_null_count"):
+        assert abs(sm[("val", m)] - bm[("val", m)]) <= 1e-6 * max(1.0, abs(bm[("val", m)]))
+    assert sorted(map(tuple, base.verdicts.collect())) == sorted(
+        map(tuple, spilled.verdicts.collect())
+    )
