@@ -820,10 +820,13 @@ def q48_connected_components(spark, sf):
         F.col("doc_id").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     ).orderBy("node")
-    # release the cache before returning: min-label propagation is a
-    # deterministic fixed plan, so a driver re-evaluation recomputes
-    # identical labels — no collect/createDataFrame round-trip needed
-    # (round-3 VERDICT hygiene #3)
+    # localCheckpoint the TINY result while the iteration caches are
+    # still warm, then release them: the returned frame holds the rows
+    # as executor blocks (no driver round-trip — round-3 hygiene #3)
+    # and its lineage no longer references the per-round label plans,
+    # which reference the previous round TWICE each and so would
+    # recompute exponentially uncached (round-4 review finding)
+    out = out.localCheckpoint(eager=True)
     comps.unpersist()
     return out
 
@@ -882,8 +885,12 @@ def q49_dedup_pipeline(spark, sf):
         )
         .orderBy("doc_id")
     )
-    # deterministic fixed plan: releasing the caches before returning
-    # recomputes identical rows if the driver re-evaluates (q48 pattern)
+    # localCheckpoint the tiny drop list while caches are warm, then
+    # release them (q48 pattern + round-4 review: uncached, each CC
+    # round's plan references the previous labels twice, so a later
+    # driver evaluation would recompute the Python-UDF LSH+jaccard
+    # chain ~2^rounds times)
+    out = out.localCheckpoint(eager=True)
     comps.unpersist()
     ver.unpersist()
     return out

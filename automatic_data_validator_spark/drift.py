@@ -347,6 +347,25 @@ def drift_report(
     for c in columns:
         if c not in cur or c not in baseline_sketches:
             continue
+        cur_empty = cur[c].total_weight == 0
+        base_empty = baseline_sketches[c].total_weight == 0
+        if cur_empty != base_empty:
+            # one side has data, the other none: KS/PSI evaluate to
+            # NaN, and 'NaN > threshold' is False — an ALL-NULL batch
+            # would otherwise report drifted=false on the most severe
+            # possible change (round-4 review finding). Total data
+            # loss/appearance IS drift.
+            out.append(
+                {"column": c, "ks": float("nan"), "psi": float("nan"),
+                 "drifted": True, "reason": "empty_sketch"}
+            )
+            continue
+        if cur_empty and base_empty:
+            out.append(
+                {"column": c, "ks": 0.0, "psi": 0.0, "drifted": False,
+                 "reason": "both_empty"}
+            )
+            continue
         k = ks_statistic(cur[c], baseline_sketches[c])
         p = psi(cur[c], baseline_sketches[c])
         out.append(

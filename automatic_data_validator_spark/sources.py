@@ -50,15 +50,18 @@ def read_csv(
     mojibake confined to later files of a multi-file dataset (round-2
     directive #8). Each probe is one tiny job.
 
-    ``encoding_strict=True`` probes EVERY file — one tiny job per file,
-    the documented cost of a hard guarantee on heterogeneous datasets.
-    In the default budgeted mode, files beyond ``max_probe_files`` are
-    accepted unprobed and the skipped count is surfaced as a logged
-    warning (round-3 VERDICT #9)."""
+    ``encoding_strict=True`` probes EVERY file IN FULL — one full-file
+    scan per file per attempted encoding, the documented cost of a
+    hard guarantee on heterogeneous datasets (a head sample would
+    still miss mojibake first appearing past ``sample_rows``). In the
+    default budgeted mode, files beyond ``max_probe_files`` are
+    accepted unprobed (and only their head is sampled) and the skipped
+    count is surfaced as ONE logged warning (round-3 VERDICT #9)."""
     import logging
 
     last_err: Exception | None = None
     infer = options.pop("inferSchema", True)
+    warned_skip = False
     for enc in CSV_ENCODINGS:
         try:
             reader = (
@@ -77,18 +80,21 @@ def read_csv(
                 bad_expr = F.sum(F.coalesce(bad.cast("long"), F.lit(0)))
 
                 def n_bad_in(frame) -> int:
-                    row = frame.limit(sample_rows).agg(bad_expr).collect()[0]
+                    if not encoding_strict:
+                        frame = frame.limit(sample_rows)
+                    row = frame.agg(bad_expr).collect()[0]
                     return int(row[0] or 0)
 
                 files = sorted(df.inputFiles())
                 probe_list = files if encoding_strict else files[:max_probe_files]
                 n_skipped = len(files) - len(probe_list)
-                if n_skipped > 0:
+                if n_skipped > 0 and not warned_skip:
+                    warned_skip = True
                     logging.getLogger(__name__).warning(
-                        "read_csv: probed %d of %d files for encoding "
-                        "'%s'; %d files accepted unprobed (raise "
+                        "read_csv: probing %d of %d files (head sample "
+                        "only); %d files accepted unprobed (raise "
                         "max_probe_files or pass encoding_strict=True)",
-                        len(probe_list), len(files), enc, n_skipped,
+                        len(probe_list), len(files), n_skipped,
                     )
                 per_file = (
                     spark.read.schema(df.schema)

@@ -210,7 +210,19 @@ def run_validation(
 
     # quantile_impl='fused' rides q1/median/q3 in the shared scan as
     # per-partition grids — numeric tables then need NO extra quantile
-    # pass (documented approximation, profile.build_partial_profile)
+    # pass (documented approximation, profile.build_partial_profile).
+    # The opt-in needs the fused scan to ride on: surface the fallback
+    # instead of silently running the separate pass the caller opted
+    # out of (round-4 review finding).
+    if quantile_impl == "fused" and with_profile and not use_fused:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "run_validation: quantile_impl='fused' needs the fused "
+            "rules+profile scan (non-empty rule_set, fused_profile=True, "
+            "no completed row_rules/profile checkpoint) — falling back "
+            "to the separate column-pruned quantile pass"
+        )
     fused_plan = (
         build_partial_profile(
             documents,

@@ -482,3 +482,40 @@ def test_text_change_report_counts(spark):
     # words: doc1 5 ws-tokens -> 5 ("<b>now</b>!" -> "now !"), doc2 3
     assert rep["total_words"]["before"] == 8.0
     assert rep["total_words"]["after"] == 8.0
+
+
+def test_cap_preserves_nan_when_no_impute(spark):
+    """Round-4 review: Spark sorts NaN above every double, so an
+    unguarded least/greatest cap rewrote a surviving NaN to the UPPER
+    bound — pandas clip preserves NaN. A caps-only plan (no imputation
+    scheduled) must keep NaN as NaN."""
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").cast("int").alias("k"),
+        F.when(F.col("id") == 0, F.lit(1.0))
+        .when(F.col("id") == 1, F.expr("double('NaN')"))
+        .otherwise(F.lit(100.0))
+        .alias("x"),
+    )
+    plan = CorrectionPlan(dedup_keys=["k"], order_key="k", caps={"x": (0.0, 50.0)})
+    rows = {r["k"]: r["x"] for r in apply_plan(df, plan).collect()}
+    assert rows[0] == 1.0 and rows[2] == 50.0
+    assert math.isnan(rows[1]), rows[1]
+
+
+def test_drift_report_flags_empty_current_sketch(spark):
+    """Round-4 review: an all-null batch yields an empty sketch and
+    NaN KS/PSI — 'NaN > threshold' is False, so total data loss was
+    reported as drifted=false. One-sided emptiness must fire."""
+    rng = np.random.RandomState(11)
+    baseline = {"x": TDigest.from_values(rng.normal(5, 1, 5000)),
+                "z": TDigest()}
+    cur = spark.createDataFrame(
+        pd.DataFrame({"x": [None] * 100, "z": [None] * 100}), "x double, z double"
+    )
+    rep = {r["column"]: r for r in drift_report(cur, baseline)}
+    assert rep["x"]["drifted"] is True and rep["x"]["reason"] == "empty_sketch"
+    # both sides empty: an always-null column is not perpetual drift
+    assert rep["z"]["drifted"] is False and rep["z"]["reason"] == "both_empty"
