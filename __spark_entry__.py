@@ -938,6 +938,67 @@ def q50_text_changes(spark, sf):
     return text_change_report(orig, cleaned, "text").orderBy("metric")
 
 
+def q52_multimodal_features(spark, sf):
+    """Multimodal decode/feature plumbing (multimodal.extract_features,
+    mapInPandas over binary payloads) under a full oracle: payloads are
+    the docs' UTF-8 bytes (pure-ASCII corpus, verified), the
+    deterministic fake decoder's feature[i] is byte[i]/255, so
+    round(feature[i]*255) recovers the exact byte the oracle reads with
+    ascii(substring(...)). Every 11th doc gets a NULL payload to pin
+    the decode-failure path (feature NULL, decode_ok false)."""
+    from automatic_data_validator_spark.multimodal import extract_features
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit(None).cast("binary"))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("payload"),
+    )
+    feats = extract_features(media, out_dim=8)
+    return feats.select(
+        "media_ref",
+        "decode_ok",
+        F.size("feature").alias("n_feat"),
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("b0"),
+        F.round(F.element_at("feature", 8) * 255).cast("int").alias("b7"),
+    ).orderBy("media_ref")
+
+
+def q53_frame_samples(spark, sf):
+    """Video/audio frame-sampling plan (multimodal.frame_sample_plan):
+    metadata-driven sequence expansion, oracle = DuckDB range()
+    unnest. Odd docs carry a deterministic duration; even docs have
+    none and must not emit samples."""
+    from automatic_data_validator_spark.multimodal import frame_sample_plan
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"),
+        F.lit("audio").alias("media_kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 1,
+                (F.pmod("doc_id", F.lit(7)) * 700 + 500).cast("int"),
+            )
+            .otherwise(F.lit(None).cast("int"))
+            .alias("duration_ms"),
+            F.lit("application/x-audio").alias("mime"),
+        ).alias("meta"),
+    )
+    return (
+        frame_sample_plan(media, every_ms=600)
+        .select(
+            "media_ref", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+        )
+        .orderBy("media_ref", "frame_ts_ms")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -991,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_dedup_pipeline": q49_dedup_pipeline,
         "q50_text_changes": q50_text_changes,
         "q51_verified_jaccard": q51_verified_jaccard,
+        "q52_multimodal_features": q52_multimodal_features,
+        "q53_frame_samples": q53_frame_samples,
     }
 
 
@@ -1785,4 +1848,30 @@ def oracle_sql() -> dict[str, str]:
         "q49_dedup_pipeline": _q49_oracle_sql(),
         "q50_text_changes": _q50_oracle_sql(),
         "q51_verified_jaccard": _q51_oracle_sql(),
+        "q52_multimodal_features": """
+            WITH m AS (
+              SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS t
+              FROM documents
+            )
+            SELECT media_ref,
+                   t IS NOT NULL AS decode_ok,
+                   CASE WHEN t IS NULL THEN NULL
+                        ELSE CAST(8 AS INTEGER) END AS n_feat,
+                   CASE WHEN t IS NULL THEN NULL
+                        ELSE CAST(ascii(substring(t, 1, 1)) AS INTEGER) END AS b0,
+                   CASE WHEN t IS NULL THEN NULL
+                        ELSE CAST(ascii(substring(t, 8, 1)) AS INTEGER) END AS b7
+            FROM m ORDER BY media_ref
+        """,
+        "q53_frame_samples": """
+            WITH m AS (
+              SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     (doc_id % 7) * 700 + 500 AS dur
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT media_ref,
+                   CAST(unnest(range(0, dur, 600)) AS BIGINT) AS frame_ts_ms
+            FROM m ORDER BY media_ref, frame_ts_ms
+        """,
     }
