@@ -1118,3 +1118,55 @@ def dedup_keep_representatives(
     )
     kept = df.join(drop_side, id_col, "left_anti")
     return kept, drop_list
+
+
+def neardup_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
+    signature_impl: str = "arrow",
+    broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The composed training-data dedup pipeline in one call:
+    MinHash-LSH candidates -> exact n-gram-Jaccard verify ->
+    ``jaccard >= threshold`` -> connected components -> drop all but
+    each component's minimum id (reference analog: the
+    zero-duplicates-after-clean invariant of
+    pipeline_generator.py:773-780, applied to NEAR-duplicates at
+    corpus scale).
+
+    Returns ``(kept_df, drop_list, verified_pairs)``. The verified
+    pair set is persisted internally (it is consumed once per CC round
+    and again by the drop-list join — recomputing it would re-run the
+    Python-UDF signature chain each time) and returned STILL PERSISTED
+    so callers can audit it; call ``verified_pairs.unpersist()`` when
+    done. Candidate generation is bucketed (never all-pairs), the
+    pair list is count-gated before broadcast, and the corpus is
+    touched by exactly one anti-join — the shapes that hold at 10^12
+    docs. Default ``bands == num_hashes`` (one hash row per band)
+    keeps recall at ~1 for pairs at or above jaccard 0.5: the miss
+    probability is (1-j)^bands.
+    """
+    cand = minhash_lsh_duplicates(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+        signature_impl=signature_impl,
+    )
+    verified = (
+        ngram_jaccard(
+            df, id_col, text_col, cand, shingle_k=shingle_k,
+            broadcast_limit=broadcast_limit,
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .persist()
+    )
+    verified.count()
+    kept, drop_list = dedup_keep_representatives(
+        df, verified.select("id_a", "id_b"), id_col
+    )
+    return kept, drop_list, verified

@@ -663,3 +663,41 @@ def test_simhash_bucket_cap_prevents_blowup(spark):
     rows = some.collect()
     assert len(rows) == 40 * 39 // 2
     assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_neardup_dedup_zero_dups_after_clean(spark):
+    """The composed pipeline (round-4): after neardup_dedup, re-running
+    it on the KEPT corpus finds zero verified near-duplicate pairs —
+    the reference's zero-duplicates-after-clean invariant
+    (pipeline_generator.py:773-780) at near-dup semantics."""
+    # three cliques with DISJOINT vocabularies (a shared base would
+    # merge them: cross-clique jaccard ~0.85) + unrelated singletons
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "one two three four five six seven eight nine ten",
+    ]
+    texts = []
+    for i in range(30):
+        texts.append((i, bodies[i // 10] + f" x{i % 10}"))
+    for i in range(30, 60):
+        texts.append((i, f"totally unrelated document number {i} with words {i*7} {i*13}"))
+    df = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+
+    kept, drop, pairs = D.neardup_dedup(df, "doc_id", "text", jaccard_threshold=0.5)
+    # materialize run 1's output: run 2 would otherwise re-evaluate the
+    # whole lazy UDF chain underneath every one of its own jobs
+    kept = kept.localCheckpoint(eager=True)
+    n_kept = kept.count()
+    n_drop = drop.count()
+    assert n_kept + n_drop == 60
+    # each clique keeps exactly its min id
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert {0, 10, 20}.issubset(kept_ids)
+    assert not ({1, 11, 21} & kept_ids)
+    pairs.unpersist()
+
+    kept2, drop2, pairs2 = D.neardup_dedup(kept, "doc_id", "text", jaccard_threshold=0.5)
+    assert pairs2.count() == 0 and drop2.count() == 0
+    assert kept2.count() == n_kept
+    pairs2.unpersist()
