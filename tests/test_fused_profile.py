@@ -201,16 +201,16 @@ def test_fused_run_cuts_input_scans(spark, parquet_docs):
 def test_fused_leaves_no_cache_entries(spark, docs, catalog):
     spark.catalog.clearCache()
     docs.cache().count()
+    jsc = spark.sparkContext._jsc.sc()
+    # DELTA assertion: earlier tests in the shared session may leave
+    # localCheckpoint blocks (they clear on GC, not clearCache)
+    before = jsc.getPersistentRDDs().size()
     res = run_validation(spark, docs, catalog=catalog, with_profile=True)
     res.violations.count()
     res.metrics.count()
-    # release the (intentionally) persisted violation frames
-    for _df in (res.violations,):
-        pass
-    jsc = spark.sparkContext._jsc.sc()
-    n = jsc.getPersistentRDDs().size()
-    # docs fixture + the two small persisted violation frames at most
-    assert n <= 3, n
+    n = jsc.getPersistentRDDs().size() - before
+    # at most the two small persisted violation frames added
+    assert n <= 2, n
 
 
 def test_fused_run_with_numeric_columns_adds_quantile_pass(spark):
