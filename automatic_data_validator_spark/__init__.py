@@ -30,6 +30,14 @@ from .profile import (  # noqa: F401
     profile_partitioned,
     quality_report,
 )
+from .dedup import neardup_dedup  # noqa: F401
 from .rules import Rule, distributed_verdicts, evaluate_row_rules  # noqa: F401
-from .state import Checkpointer, CheckpointRegistry  # noqa: F401
+from .sources import write_bucketed_table  # noqa: F401
+from .state import (  # noqa: F401
+    Checkpointer,
+    CheckpointRegistry,
+    export_summary,
+    run_summary,
+)
+from .textops import text_change_report  # noqa: F401
 from .validate import ValidationResult, canonical_violations, run_validation  # noqa: F401

@@ -215,3 +215,30 @@ def test_spill_mode_with_fused_quantiles(spark):
     assert sorted(map(tuple, base.verdicts.collect())) == sorted(
         map(tuple, spilled.verdicts.collect())
     )
+
+
+def test_dedup_job_entrypoint(spark, tmp_path):
+    """jobs/dedup_job.py runs the composed pipeline end to end and
+    writes all four outputs (kept corpus, drop list, verified pairs,
+    oversize-bucket audit)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import dedup_job
+
+    out = str(tmp_path / "dedup_out")
+    rc = dedup_job.main(
+        ["--documents", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--tau", "0.5"]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(f"{out}/kept")
+    drop = spark.read.parquet(f"{out}/drop_list")
+    pairs = spark.read.parquet(f"{out}/pairs")
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert kept.count() + drop.count() == n_docs
+    assert set(pairs.columns) == {"id_a", "id_b", "jaccard"}
+    # drop list ids must not survive in kept
+    assert kept.join(drop.withColumnRenamed("doc_id", "k"),
+                     kept["doc_id"] == F.col("k")).count() == 0
