@@ -945,7 +945,14 @@ def q52_multimodal_features(spark, sf):
     deterministic fake decoder's feature[i] is byte[i]/255, so
     round(feature[i]*255) recovers the exact byte the oracle reads with
     ascii(substring(...)). Every 11th doc gets a NULL payload to pin
-    the decode-failure path (feature NULL, decode_ok false)."""
+    the decode-failure path (feature NULL, decode_ok false).
+
+    Robustness note: the fake decoder ZERO-PADS payloads shorter than
+    out_dim*4 bytes (ljust in _decode_image_fake), so the feature array
+    is always exactly out_dim long — element_at(..., 8) cannot go out
+    of range under ANSI even for a short doc, and a padded byte reads
+    0, which the oracle's ascii('') also yields. The corpus is verified
+    pure-ASCII (multibyte text would break ascii()-vs-byte parity)."""
     from automatic_data_validator_spark.multimodal import extract_features
 
     d = _t(spark, sf, "documents")

@@ -200,17 +200,22 @@ def apply_plan(df: DataFrame, plan: CorrectionPlan) -> DataFrame:
             e = F.coalesce(e, F.lit(string_imp[c]))
         # 4. cap outliers: clip == least(greatest(x, lo), hi). Same
         # upcast rule: fractional IQR bounds on an int column keep the
-        # double (pandas clip with float bounds yields float). A NaN
-        # that survives imputation (e.g. caps with no impute scheduled
-        # — profile counts NaN as non-null, so null_share can be 0)
-        # must stay NaN like pandas clip: Spark sorts NaN ABOVE every
-        # value, so unguarded least/greatest would silently rewrite it
-        # to the upper cap (round-4 review finding).
+        # double (pandas clip with float bounds yields float). Missing
+        # values that survive imputation (caps-only plans — profile
+        # counts NaN as non-null, so null_share can be 0) must pass
+        # through like pandas clip: Spark's least/greatest SKIP nulls
+        # (NULL would become the lower cap) and sort NaN ABOVE every
+        # value (NaN would become the upper cap) — both guarded
+        # (round-4 review findings, runtime-confirmed).
         if c in plan.caps:
             lo, hi = plan.caps[c]
             clipped = F.least(F.greatest(e.cast("double"), F.lit(lo)), F.lit(hi))
-            if dtypes[c] in ("float", "double"):
-                clipped = F.when(F.isnan(e), e.cast("double")).otherwise(clipped)
+            missing = (
+                e.isNull() | F.isnan(e)
+                if dtypes[c] in ("float", "double")
+                else e.isNull()
+            )
+            clipped = F.when(missing, e.cast("double")).otherwise(clipped)
             fractional_bounds = (lo != int(lo)) or (hi != int(hi))
             if dt in _int_types and fractional_bounds:
                 e = clipped

@@ -694,19 +694,27 @@ def minhash_lsh_duplicates(
     with_bands = _lsh_band_buckets(
         df, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
     )
-    # Single-branch pair generation: ONE shuffle keyed (band, bucket),
-    # pairs expanded from the sorted in-bucket id list. The former
-    # bucket self-join read the banded table twice — recomputing every
-    # signature per side when exchange reuse didn't fire (and the
-    # Python-UDF signature of the duplicated right branch escaped
-    # ArrowEvalPython extraction entirely) — while this shape computes
-    # signatures once. The bucket cap is applied by a window COUNT
-    # BEFORE collect_list: collecting first would materialize a
-    # degenerate hot bucket's full id list in one aggregation buffer
-    # (collect_list does not spill; round-3 ADVICE) — the window's
-    # group buffer spills to disk, and it shares the groupBy's
-    # hash-partitioning so no extra shuffle is introduced. In-bucket
-    # expansion is then safe: surviving lists are ≤ max_bucket_size.
+    return _pairs_from_banded(with_bands, max_bucket_size)
+
+
+def _pairs_from_banded(with_bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Pair expansion from a (_id, band, bucket) frame — shared by
+    minhash_lsh_duplicates and neardup_dedup (which persists the banded
+    frame so candidates AND the oversize audit cost one signature pass).
+
+    Single-branch pair generation: ONE shuffle keyed (band, bucket),
+    pairs expanded from the sorted in-bucket id list. The former
+    bucket self-join read the banded table twice — recomputing every
+    signature per side when exchange reuse didn't fire (and the
+    Python-UDF signature of the duplicated right branch escaped
+    ArrowEvalPython extraction entirely) — while this shape computes
+    signatures once. The bucket cap is applied by a window COUNT
+    BEFORE collect_list: collecting first would materialize a
+    degenerate hot bucket's full id list in one aggregation buffer
+    (collect_list does not spill; round-3 ADVICE) — the window's
+    group buffer spills to disk, and it shares the groupBy's
+    hash-partitioning so no extra shuffle is introduced. In-bucket
+    expansion is then safe: surviving lists are ≤ max_bucket_size."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
@@ -1103,12 +1111,22 @@ def dedup_keep_representatives(
     THIS). Returns (kept_df, drop_list) where drop_list is
     (doc_id, component). The corpus is touched by exactly one
     left-anti join against the (small, broadcastable) drop list; ids
-    outside any pair are untouched."""
+    outside any pair are untouched.
+
+    The drop list is localCheckpoint'ed (it is small by the pipeline's
+    own contract) so the connected-components cache can be RELEASED
+    here instead of leaking for the session (round-4 review finding) —
+    previously the persisted comps frame had no handle for callers to
+    unpersist, and dropping the cache without materializing first
+    would make later actions replay the iterative label plan
+    exponentially (each round references the previous one twice)."""
     comps = connected_dup_groups(pairs)
-    drop_list = comps.filter(F.col("doc_id") != F.col("component"))
-    # same count-gated broadcast standard as the other verify joins:
-    # comps is already persisted by connected_dup_groups, so the count
-    # is a cache read
+    drop_list = comps.filter(
+        F.col("doc_id") != F.col("component")
+    ).localCheckpoint(eager=True)
+    comps.unpersist()
+    # count-gated broadcast standard as the other verify joins; the
+    # count reads the checkpointed blocks
     n_drop = drop_list.count()
     drop_side = drop_list.select(F.col("doc_id").alias(id_col))
     drop_side = (
@@ -1131,7 +1149,7 @@ def neardup_dedup(
     max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
     signature_impl: str = "arrow",
     broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The composed training-data dedup pipeline in one call:
     MinHash-LSH candidates -> exact n-gram-Jaccard verify ->
     ``jaccard >= threshold`` -> connected components -> drop all but
@@ -1140,33 +1158,47 @@ def neardup_dedup(
     pipeline_generator.py:773-780, applied to NEAR-duplicates at
     corpus scale).
 
-    Returns ``(kept_df, drop_list, verified_pairs)``. The verified
-    pair set is persisted internally (it is consumed once per CC round
-    and again by the drop-list join — recomputing it would re-run the
-    Python-UDF signature chain each time) and returned STILL PERSISTED
-    so callers can audit it; call ``verified_pairs.unpersist()`` when
-    done. Candidate generation is bucketed (never all-pairs), the
-    pair list is count-gated before broadcast, and the corpus is
-    touched by exactly one anti-join — the shapes that hold at 10^12
-    docs. Default ``bands == num_hashes`` (one hash row per band)
-    keeps recall at ~1 for pairs at or above jaccard 0.5: the miss
-    probability is (1-j)^bands.
+    Returns ``(kept_df, drop_list, verified_pairs, oversize_buckets)``
+    — the last is the visible bucket-cap audit, derived from the SAME
+    banded frame as the candidates. Cost model (round-4 review): the
+    Python-UDF signature chain runs EXACTLY ONCE — the (_id, band,
+    bucket) frame is persisted across the candidate count, the verify
+    join, and the audit, then released; the drop list is
+    localCheckpoint'ed inside dedup_keep_representatives so no
+    connected-components cache outlives the call. The verified pair
+    set is returned STILL PERSISTED for auditing; call
+    ``verified_pairs.unpersist()`` when done. Candidate generation is
+    bucketed (never all-pairs), the pair list is count-gated before
+    broadcast, and the corpus is touched by exactly one anti-join —
+    the shapes that hold at 10^12 docs. Default ``bands == num_hashes``
+    (one hash row per band) keeps recall at ~1 for pairs at or above
+    jaccard 0.5: the miss probability is (1-j)^bands.
     """
-    cand = minhash_lsh_duplicates(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_k=shingle_k, max_bucket_size=max_bucket_size,
-        signature_impl=signature_impl,
-    )
-    verified = (
-        ngram_jaccard(
-            df, id_col, text_col, cand, shingle_k=shingle_k,
-            broadcast_limit=broadcast_limit,
+    banded = _lsh_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
+    ).persist()
+    try:
+        cand = _pairs_from_banded(banded, max_bucket_size)
+        verified = (
+            ngram_jaccard(
+                df, id_col, text_col, cand, shingle_k=shingle_k,
+                broadcast_limit=broadcast_limit,
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .persist()
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .persist()
-    )
-    verified.count()
+        verified.count()
+        oversize = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket_size)
+            .localCheckpoint(eager=True)  # tiny; materialized while
+            # the banded cache is warm so releasing it below cannot
+            # trigger a second signature pass
+        )
+    finally:
+        banded.unpersist()
     kept, drop_list = dedup_keep_representatives(
         df, verified.select("id_a", "id_b"), id_col
     )
-    return kept, drop_list, verified
+    return kept, drop_list, verified, oversize

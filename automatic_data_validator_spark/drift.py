@@ -284,16 +284,47 @@ def grouped_drift_report(
     ks_threshold: float = 0.1,
     psi_threshold: float = 0.2,
 ) -> list[dict]:
-    """Per-group KS/PSI between two snapshots of the same table."""
+    """Per-group KS/PSI between two snapshots of the same table.
+
+    Same degenerate-case contract as drift_report (round-4 review):
+    a group whose sketch is empty on exactly one side (total data
+    loss/appearance of values) and a group PRESENT on exactly one
+    side both fire drifted=true with a reason — the former NaN
+    statistics compared false against every threshold, and vanished
+    groups were silently skipped. Every row carries ``reason``.
+    """
     cur = sketch_by_group(current_df, group_col, value_col)
     base = sketch_by_group(baseline_df, group_col, value_col)
     out = []
-    for g in sorted(set(cur) & set(base)):
+    for g in sorted(set(cur) | set(base)):
+        if g not in cur or g not in base:
+            out.append(
+                {"group": g, "ks": float("nan"), "psi": float("nan"),
+                 "drifted": True,
+                 "reason": ("missing_in_current" if g not in cur
+                            else "missing_in_baseline")}
+            )
+            continue
+        cur_empty = cur[g].total_weight == 0
+        base_empty = base[g].total_weight == 0
+        if cur_empty != base_empty:
+            out.append(
+                {"group": g, "ks": float("nan"), "psi": float("nan"),
+                 "drifted": True, "reason": "empty_sketch"}
+            )
+            continue
+        if cur_empty and base_empty:
+            out.append(
+                {"group": g, "ks": 0.0, "psi": 0.0, "drifted": False,
+                 "reason": "both_empty"}
+            )
+            continue
         k = ks_statistic(cur[g], base[g])
         p = psi(cur[g], base[g])
         out.append(
             {"group": g, "ks": k, "psi": p,
-             "drifted": bool(k > ks_threshold or p > psi_threshold)}
+             "drifted": bool(k > ks_threshold or p > psi_threshold),
+             "reason": "stats"}
         )
     return out
 
@@ -374,6 +405,7 @@ def drift_report(
                 "ks": k,
                 "psi": p,
                 "drifted": bool(k > ks_threshold or p > psi_threshold),
+                "reason": "stats",
             }
         )
     return out

@@ -57,10 +57,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from automatic_data_validator_spark.dedup import (
-        lsh_oversize_buckets,
-        neardup_dedup,
-    )
+    from automatic_data_validator_spark.dedup import neardup_dedup
     from automatic_data_validator_spark.sources import (
         read_table,
         write_outputs_parallel,
@@ -70,13 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("advs-dedup").getOrCreate()
 
     docs = read_table(spark, args.documents)
-    kept, drop_list, pairs = neardup_dedup(
+    # the audit comes from neardup_dedup's own banded frame — a
+    # separate lsh_oversize_buckets call would re-run the signature
+    # UDF over the whole corpus (round-4 review finding)
+    kept, drop_list, pairs, audit = neardup_dedup(
         docs, args.id_col, args.text_col, jaccard_threshold=args.tau,
         num_hashes=args.num_hashes, bands=args.bands, shingle_k=args.shingle_k,
-    )
-    audit = lsh_oversize_buckets(
-        docs, args.id_col, args.text_col, num_hashes=args.num_hashes,
-        bands=args.bands, shingle_k=args.shingle_k,
     )
     write_outputs_parallel(
         {"kept": kept, "drop_list": drop_list, "pairs": pairs,

@@ -684,7 +684,8 @@ def test_neardup_dedup_zero_dups_after_clean(spark):
         texts.append((i, f"totally unrelated document number {i} with words {i*7} {i*13}"))
     df = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
 
-    kept, drop, pairs = D.neardup_dedup(df, "doc_id", "text", jaccard_threshold=0.5)
+    kept, drop, pairs, oversize = D.neardup_dedup(df, "doc_id", "text", jaccard_threshold=0.5)
+    assert oversize.count() == 0
     # materialize run 1's output: run 2 would otherwise re-evaluate the
     # whole lazy UDF chain underneath every one of its own jobs
     kept = kept.localCheckpoint(eager=True)
@@ -697,7 +698,7 @@ def test_neardup_dedup_zero_dups_after_clean(spark):
     assert not ({1, 11, 21} & kept_ids)
     pairs.unpersist()
 
-    kept2, drop2, pairs2 = D.neardup_dedup(kept, "doc_id", "text", jaccard_threshold=0.5)
+    kept2, drop2, pairs2, _ov2 = D.neardup_dedup(kept, "doc_id", "text", jaccard_threshold=0.5)
     assert pairs2.count() == 0 and drop2.count() == 0
     assert kept2.count() == n_kept
     pairs2.unpersist()

@@ -519,3 +519,53 @@ def test_drift_report_flags_empty_current_sketch(spark):
     assert rep["x"]["drifted"] is True and rep["x"]["reason"] == "empty_sketch"
     # both sides empty: an always-null column is not perpetual drift
     assert rep["z"]["drifted"] is False and rep["z"]["reason"] == "both_empty"
+
+
+def test_cap_preserves_null_when_no_impute(spark):
+    """Round-4 review (runtime-confirmed): least/greatest SKIP nulls,
+    so an unguarded cap rewrote NULL to the LOWER bound — pandas clip
+    preserves missing values. Both float and int columns."""
+    from automatic_data_validator_spark.correct import CorrectionPlan, apply_plan
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").cast("int").alias("k"),
+        F.when(F.col("id") == 1, F.lit(None)).otherwise(F.col("id") * 100)
+        .cast("double").alias("x"),
+        F.when(F.col("id") == 1, F.lit(None)).otherwise(F.col("id") * 100)
+        .cast("int").alias("y"),
+    )
+    plan = CorrectionPlan(
+        dedup_keys=["k"], order_key="k",
+        caps={"x": (10.0, 150.0), "y": (10.0, 150.0)},
+    )
+    rows = {r["k"]: r for r in apply_plan(df, plan).collect()}
+    assert rows[0]["x"] == 10.0 and rows[2]["x"] == 150.0
+    assert rows[1]["x"] is None and rows[1]["y"] is None
+
+
+def test_grouped_drift_report_degenerate_groups(spark):
+    """Round-4 review: one-sided empty sketches and vanished/appeared
+    groups must fire drifted=true with a reason; every row carries a
+    uniform 'reason' key."""
+    from automatic_data_validator_spark.drift import grouped_drift_report
+
+    rng = np.random.RandomState(13)
+    base = pd.DataFrame(
+        {"g": ["a"] * 500 + ["gone"] * 500 + ["nulled"] * 500,
+         "v": np.concatenate([rng.normal(0, 1, 500),
+                              rng.normal(5, 1, 500),
+                              rng.normal(9, 1, 500)])}
+    )
+    cur = pd.DataFrame(
+        {"g": ["a"] * 500 + ["new"] * 500 + ["nulled"] * 500,
+         "v": list(rng.normal(0, 1, 500)) + list(rng.normal(2, 1, 500))
+              + [None] * 500}
+    )
+    rep = {r["group"]: r for r in grouped_drift_report(
+        spark.createDataFrame(cur), spark.createDataFrame(base), "g", "v")}
+    assert rep["a"]["drifted"] is False and rep["a"]["reason"] == "stats"
+    assert rep["gone"]["drifted"] is True and rep["gone"]["reason"] == "missing_in_current"
+    assert rep["new"]["drifted"] is True and rep["new"]["reason"] == "missing_in_baseline"
+    assert rep["nulled"]["drifted"] is True and rep["nulled"]["reason"] == "empty_sketch"
+    assert all("reason" in r for r in rep.values())
