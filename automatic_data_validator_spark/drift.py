@@ -380,6 +380,7 @@ def drift_report(
             continue
         cur_empty = cur[c].total_weight == 0
         base_empty = baseline_sketches[c].total_weight == 0
+        n_cur = int(cur[c].total_weight)
         if cur_empty != base_empty:
             # one side has data, the other none: KS/PSI evaluate to
             # NaN, and 'NaN > threshold' is False — an ALL-NULL batch
@@ -388,13 +389,14 @@ def drift_report(
             # loss/appearance IS drift.
             out.append(
                 {"column": c, "ks": float("nan"), "psi": float("nan"),
-                 "drifted": True, "reason": "empty_sketch"}
+                 "drifted": True, "reason": "empty_sketch",
+                 "n_current": n_cur}
             )
             continue
         if cur_empty and base_empty:
             out.append(
                 {"column": c, "ks": 0.0, "psi": 0.0, "drifted": False,
-                 "reason": "both_empty"}
+                 "reason": "both_empty", "n_current": 0}
             )
             continue
         k = ks_statistic(cur[c], baseline_sketches[c])
@@ -406,6 +408,7 @@ def drift_report(
                 "psi": p,
                 "drifted": bool(k > ks_threshold or p > psi_threshold),
                 "reason": "stats",
+                "n_current": n_cur,
             }
         )
     return out
@@ -468,3 +471,24 @@ def quantile_grid(df: DataFrame, column: str, grid: list[float]) -> list[float]:
         F.percentile_approx(column, grid, 10_000).alias("q")
     ).collect()[0]
     return list(row["q"])
+
+
+def document_signals(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Numeric drift signals for the interleaved documents shape —
+    the flagship table has NO plain numeric columns, so distribution
+    drift monitors these derived per-doc quantities instead:
+    ``n_spans``, ``text_chars`` (total span-text length),
+    ``n_media_refs``. Lambda-free expressions (array_join / nested
+    field access / array_compact) so the pass stays in codegen; feed
+    the result to sketch_columns/save_baseline and pass it as
+    run_validation's ``drift_signals``."""
+    s = F.col(spans_col)
+    return df.select(
+        F.size(s).cast("double").alias("n_spans"),
+        F.length(
+            F.coalesce(F.array_join(s.getField("text"), ""), F.lit(""))
+        ).cast("double").alias("text_chars"),
+        F.size(F.array_compact(s.getField("media_ref"))).cast("double").alias(
+            "n_media_refs"
+        ),
+    )

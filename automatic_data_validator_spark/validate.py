@@ -7,6 +7,8 @@ Pipeline (each phase checkpointable, resumable via state.Checkpointer):
   phase "uniqueness"   — two-phase salted doc_id dedup (dedup.py)
   phase "referential"  — media_ref anti-join vs catalog (refcheck.py)
   phase "profile"      — single-pass column stats -> metrics rows
+  phase "drift"        — KS/PSI vs a baseline sketch snapshot
+                         (opt-in via drift_baseline; drift.py)
 
 Outputs: ``verdicts`` / ``violations`` / ``metrics`` / ``lineage``
 DataFrames (written as parquet when a checkpoint dir is given). This is
@@ -65,6 +67,11 @@ def run_validation(
     verdict_spill_threshold: int = 100_000,
     fused_profile: bool = True,
     quantile_impl: str = "approx",
+    drift_baseline: "dict | str | None" = None,
+    drift_columns: "list[str] | None" = None,
+    drift_ks_threshold: float = 0.1,
+    drift_psi_threshold: float = 0.2,
+    drift_signals: "Any | None" = None,
 ) -> ValidationResult:
     """See module docstring. verdict_spill_threshold: when the input
     has more partitions than this, per-partition verdicts are NOT
@@ -335,6 +342,57 @@ def run_validation(
                     ),
                 )
             )
+
+    # distribution-drift phase (north_rule's fourth check family): one
+    # sketch pass (t-digest partials, two-level merge) compared vs the
+    # baseline snapshot — table-level verdicts use partition_id = -1
+    # (drift has no per-partition attribution) and one violation row
+    # per drifted COLUMN (doc_id = the column name, detail = ks/psi/
+    # reason). Rides the same phase machinery, so it checkpoints,
+    # overlaps with the other scans, and lands in lineage/run_summary.
+    if drift_baseline is not None:
+        from . import drift as DR
+
+        def drift_check():
+            baseline = (
+                DR.load_baseline(spark, drift_baseline)
+                if isinstance(drift_baseline, str)
+                else drift_baseline
+            )
+            # drift_signals: derive the frame to sketch (e.g.
+            # drift.document_signals for the interleaved shape, which
+            # has no plain numeric columns); default = the input table
+            target = (
+                drift_signals(documents) if drift_signals else documents
+            )
+            cols = drift_columns or sorted(
+                set(baseline) & set(target.columns)
+            )
+            report = DR.drift_report(
+                target, baseline, cols,
+                ks_threshold=drift_ks_threshold,
+                psi_threshold=drift_psi_threshold,
+            )
+            v_rows = []
+            viol_rows = []
+            for r in report:
+                rid = f"drift_{r['column']}"
+                v_rows.append(
+                    (-1, rid, int(r.get("n_current") or 0),
+                     1 if r["drifted"] else 0, not r["drifted"])
+                )
+                if r["drifted"]:
+                    viol_rows.append(
+                        (r["column"], rid, -1,
+                         f"ks={r['ks']:.6f};psi={r['psi']:.6f};"
+                         f"reason={r['reason']}")
+                    )
+            return (
+                spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
+                spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),
+            )
+
+        tasks.append(("drift", drift_check))
 
     metrics = None
     metrics_future = None

@@ -35,7 +35,13 @@ import sys
 
 # On a cluster --py-files ships the package; for bare local runs the
 # repo root (parent of jobs/) must be importable too.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# the drift phase ships Arrow UDFs (t-digest sketch partials) to
+# executors — local-mode workers resolve imports from PYTHONPATH, not
+# the driver's sys.path, so export it BEFORE the JVM starts; a real
+# cluster uses --py-files instead (see dedup_job.py)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -47,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--snapshot-id", default="auto")
     ap.add_argument("--rule-version", default="v1")
     ap.add_argument("--no-profile", action="store_true")
+    ap.add_argument("--drift-baseline", default=None,
+                    help="path of a drift.save_baseline snapshot; adds "
+                         "the distribution-drift phase")
+    ap.add_argument("--save-drift-baseline", default=None, metavar="PATH",
+                    help="after validating, sketch the numeric columns "
+                         "and save them as the NEXT run's baseline")
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_DOCS",
                     help="generate a synthetic input first (local smoke only)")
     args = ap.parse_args(argv)
@@ -88,6 +100,27 @@ def main(argv: list[str] | None = None) -> int:
         from automatic_data_validator_spark.state import iceberg_snapshot_id
 
         snapshot_id = iceberg_snapshot_id(spark, args.documents) or "auto"
+    # drift target: plain numeric columns when the table has them,
+    # else the derived per-doc signals of the interleaved shape
+    # (n_spans / text_chars / n_media_refs) — the flagship documents
+    # table has NO numeric columns, so a silent no-op here would make
+    # both drift flags dead letters
+    from pyspark.sql import types as _T
+
+    from automatic_data_validator_spark.drift import (
+        document_signals,
+        save_baseline,
+        sketch_columns,
+    )
+
+    numeric = [
+        f.name for f in docs.schema.fields
+        if isinstance(f.dataType, _T.NumericType)
+    ]
+    signals_fn = None
+    if not numeric and "spans" in docs.columns:
+        signals_fn = document_signals
+
     res = run_validation(
         spark,
         docs,
@@ -96,7 +129,18 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_id=snapshot_id,
         rule_version=args.rule_version,
         with_profile=not args.no_profile,
+        drift_baseline=args.drift_baseline,
+        drift_signals=signals_fn,
     )
+
+    if args.save_drift_baseline:
+        target = signals_fn(docs) if signals_fn else docs
+        cols = numeric or target.columns
+        save_baseline(
+            sketch_columns(target, list(cols)), spark,
+            args.save_drift_baseline, snapshot_id=snapshot_id,
+        )
+        print(f"drift baseline saved: {args.save_drift_baseline}")
 
     from automatic_data_validator_spark.sources import write_outputs_parallel
     from automatic_data_validator_spark.state import run_summary

@@ -242,3 +242,85 @@ def test_dedup_job_entrypoint(spark, tmp_path):
     # drop list ids must not survive in kept
     assert kept.join(drop.withColumnRenamed("doc_id", "k"),
                      kept["doc_id"] == F.col("k")).count() == 0
+
+
+def test_run_validation_drift_phase(spark, tmp_path):
+    """North_rule's fourth family INSIDE the engine run (round-4): a
+    drift_baseline adds the drift phase — table-level verdicts at
+    partition_id -1, one violation row per drifted column, lineage
+    entry, and checkpoint/resume like every other phase. Works with an
+    in-memory sketch dict and a saved snapshot path."""
+    import numpy as np
+
+    from automatic_data_validator_spark import rules as R
+    from automatic_data_validator_spark.drift import TDigest, save_baseline
+
+    rng = np.random.RandomState(21)
+    df = spark.range(0, 8000, 1, 4).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 100).cast("double").alias("stable"),
+        (F.col("id") % 100 + 500).cast("double").alias("shifted"),
+    )
+    baseline = {
+        "stable": TDigest.from_values(rng.randint(0, 100, 20_000).astype(float)),
+        "shifted": TDigest.from_values(rng.randint(0, 100, 20_000).astype(float)),
+    }
+    rs = [R.Rule("nn", "not_null", column="doc_id")]
+    res = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=False,
+        drift_baseline=baseline,
+    )
+    v = {r["rule_id"]: r for r in res.verdicts.collect() if r["rule_id"].startswith("drift_")}
+    assert v["drift_stable"]["pass"] is True
+    assert v["drift_shifted"]["pass"] is False
+    assert v["drift_shifted"]["partition_id"] == -1
+    assert v["drift_shifted"]["row_count"] == 8000
+    viol = [r for r in res.violations.collect() if r["rule_id"].startswith("drift_")]
+    assert len(viol) == 1 and viol[0]["doc_id"] == "shifted"
+    assert "ks=" in viol[0]["detail"] and "reason=stats" in viol[0]["detail"]
+    phases = {r["phase"] for r in res.lineage.collect()}
+    assert "drift" in phases
+    assert res.passed() is False
+
+    # path-based baseline + checkpoint resume skips the phase
+    bpath = str(tmp_path / "baseline")
+    save_baseline(baseline, spark, bpath)
+    ck = str(tmp_path / "ckpt")
+    res2 = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=False,
+        drift_baseline=bpath, checkpoint_dir=ck, snapshot_id="s1",
+    )
+    assert {r["rule_id"] for r in res2.verdicts.collect() if not r["pass"]} == {"drift_shifted"}
+    import json as _json
+    import os as _os
+
+    state = _json.load(open(_os.path.join(ck, "_state.json")))
+    assert "drift" in state["completed"]
+    res3 = run_validation(
+        spark, df, rule_set=rs, check_uniqueness=False, with_profile=False,
+        drift_baseline=bpath, checkpoint_dir=ck, snapshot_id="s1",
+    )
+    assert {r["rule_id"] for r in res3.verdicts.collect() if not r["pass"]} == {"drift_shifted"}
+
+
+def test_document_signals_drift_wiring(spark, docs):
+    """The interleaved documents shape has no numeric columns;
+    drift.document_signals derives the monitored quantities and
+    run_validation(drift_signals=...) sketches THEM. Baseline built
+    from the same corpus -> all drift rules pass."""
+    from automatic_data_validator_spark.drift import (
+        document_signals,
+        sketch_columns,
+    )
+
+    sig = document_signals(docs)
+    assert set(sig.columns) == {"n_spans", "text_chars", "n_media_refs"}
+    sk = sketch_columns(sig, sig.columns)
+    assert sk["n_spans"].total_weight == docs.count()
+    res = run_validation(
+        spark, docs, rule_set=[], check_uniqueness=False, with_profile=False,
+        drift_baseline=sk, drift_signals=document_signals,
+    )
+    dr = [r for r in res.verdicts.collect() if r["rule_id"].startswith("drift_")]
+    assert len(dr) == 3 and all(r["pass"] for r in dr)
+    assert res.passed() is True
