@@ -1166,8 +1166,12 @@ def neardup_dedup(
     join, and the audit, then released; the drop list is
     localCheckpoint'ed inside dedup_keep_representatives so no
     connected-components cache outlives the call. The verified pair
-    set is returned STILL PERSISTED for auditing; call
-    ``verified_pairs.unpersist()`` when done. Candidate generation is
+    set is likewise localCheckpoint'ed (small by the pipeline's own
+    contract — candidates are bucket-capped and the pair list is
+    count-gated), so NOTHING returned holds a session-lifetime cache:
+    no caller unpersist obligation (round-4 review finding — the
+    previous "caller must release my cache" contract would leak in
+    the first notebook that used it). Candidate generation is
     bucketed (never all-pairs), the pair list is count-gated before
     broadcast, and the corpus is touched by exactly one anti-join —
     the shapes that hold at 10^12 docs. Default ``bands == num_hashes``
@@ -1185,9 +1189,11 @@ def neardup_dedup(
                 broadcast_limit=broadcast_limit,
             )
             .filter(F.col("jaccard") >= jaccard_threshold)
-            .persist()
+            # materialized while the banded cache is warm (same reason
+            # as the audit below); blocks are released by the context
+            # cleaner when the frame is GC'd — no caller unpersist
+            .localCheckpoint(eager=True)
         )
-        verified.count()
         oversize = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -481,14 +481,19 @@ def document_signals(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     ``n_media_refs``. Lambda-free expressions (array_join / nested
     field access / array_compact) so the pass stays in codegen; feed
     the result to sketch_columns/save_baseline and pass it as
-    run_validation's ``drift_signals``."""
+    run_validation's ``drift_signals``.
+
+    NULL ``spans`` rows count as 0 for every signal: with non-ANSI
+    Spark ``size(NULL)`` is -1, which would silently drag the sketched
+    distribution left, so sizes are guarded with an isNull branch."""
     s = F.col(spans_col)
+    null_zero = F.when(s.isNull(), F.lit(0.0))
     return df.select(
-        F.size(s).cast("double").alias("n_spans"),
+        null_zero.otherwise(F.size(s).cast("double")).alias("n_spans"),
         F.length(
             F.coalesce(F.array_join(s.getField("text"), ""), F.lit(""))
         ).cast("double").alias("text_chars"),
-        F.size(F.array_compact(s.getField("media_ref"))).cast("double").alias(
-            "n_media_refs"
-        ),
+        null_zero.otherwise(
+            F.size(F.array_compact(s.getField("media_ref"))).cast("double")
+        ).alias("n_media_refs"),
     )

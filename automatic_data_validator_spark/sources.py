@@ -284,11 +284,12 @@ def write_bucketed_table(
     The 100-TB story: validation re-runs the same keyed operations
     (uniqueness groupBy on doc_id, dedup joins) over the same corpus
     on every snapshot — writing the table bucketed once amortizes that
-    shuffle across every subsequent run, and skew salting becomes
-    unnecessary for the bucketed key because the bucket hash already
-    spreads identical keys' FILES (a hot key still lands in one bucket,
-    so keep ``num_buckets`` high enough that one bucket fits an
-    executor). Managed-table form (`saveAsTable`) because Spark only
+    shuffle across every subsequent run. Note bucketing does NOT
+    mitigate hot-KEY skew: identical keys all hash to a single bucket,
+    so a hot key still concentrates in one bucket's files and skew
+    salting (dedup.py) remains necessary for skewed keys; what
+    bucketing removes is the per-run Exchange for the uniform case.
+    Managed-table form (`saveAsTable`) because Spark only
     records bucketing metadata in the catalog — plain
     ``.parquet(path)`` cannot express it."""
     writer = (

@@ -193,13 +193,21 @@ def drift_stream(
         )
         if not report:
             return
+        # carry `reason` + `n_current` through: an empty_sketch row
+        # (total data loss in the batch — the severest drift case)
+        # must stay distinguishable from ordinary stats drift in the
+        # parquet output, and NaN ks alone can't tell them apart
         rows = [
-            (r["column"], float(r["ks"]), float(r["psi"]), bool(r["drifted"]))
+            (r["column"], float(r["ks"]), float(r["psi"]),
+             bool(r["drifted"]), str(r.get("reason") or ""),
+             int(r.get("n_current") or 0))
             for r in report
         ]
         (
             spark.createDataFrame(
-                rows, "column string, ks double, psi double, drifted boolean"
+                rows,
+                "column string, ks double, psi double, drifted boolean, "
+                "reason string, n_current long",
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

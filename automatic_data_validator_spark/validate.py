@@ -368,6 +368,17 @@ def run_validation(
             cols = drift_columns or sorted(
                 set(baseline) & set(target.columns)
             )
+            if not cols:
+                # a baseline whose columns don't intersect the target
+                # (wrong baseline file, wrong signals frame) would
+                # otherwise emit ZERO verdicts — indistinguishable
+                # from a passing check. Fail loudly instead.
+                raise ValueError(
+                    "drift phase: baseline columns "
+                    f"{sorted(baseline)} do not intersect target "
+                    f"columns {sorted(target.columns)}; misconfigured "
+                    "baseline or drift_signals"
+                )
             report = DR.drift_report(
                 target, baseline, cols,
                 ks_threshold=drift_ks_threshold,

@@ -83,7 +83,6 @@ def main(argv: list[str] | None = None) -> int:
     n_drop = spark.read.parquet(f"{args.output}/drop_list").count()
     n_pairs = spark.read.parquet(f"{args.output}/pairs").count()
     n_over = spark.read.parquet(f"{args.output}/oversize_buckets").count()
-    pairs.unpersist()
     print(
         f"dedup: kept={n_kept} dropped={n_drop} verified_pairs={n_pairs} "
         f"oversize_buckets={n_over}; outputs at {args.output}"

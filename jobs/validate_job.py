@@ -134,8 +134,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.save_drift_baseline:
-        target = signals_fn(docs) if signals_fn else docs
-        cols = numeric or target.columns
+        if signals_fn is not None:
+            target = signals_fn(docs)
+            cols = target.columns
+        elif numeric:
+            target, cols = docs, numeric
+        else:
+            # no numeric columns AND no spans column: sketching string
+            # columns yields all-NaN → empty digests, and every future
+            # drift check against that baseline passes with
+            # reason=both_empty — silent dead monitoring. Refuse.
+            raise SystemExit(
+                "--save-drift-baseline: table has no numeric columns "
+                "and no 'spans' column to derive signals from; a "
+                "baseline of empty sketches would make drift checks "
+                "dead letters. Pick a table with numeric columns or "
+                "the interleaved documents shape."
+            )
         save_baseline(
             sketch_columns(target, list(cols)), spark,
             args.save_drift_baseline, snapshot_id=snapshot_id,

@@ -207,3 +207,6 @@ def test_drift_stream_flags_shifted_batch(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["column"] == "x" and rows[0]["drifted"] is False
     assert rows[1]["drifted"] is True and rows[1]["ks"] > 0.3
+    # reason + n_current ride through (r5): ordinary stats drift must
+    # stay distinguishable from an empty_sketch data-loss batch
+    assert rows[1]["reason"] == "stats" and rows[1]["n_current"] == 5_000

@@ -324,3 +324,50 @@ def test_document_signals_drift_wiring(spark, docs):
     dr = [r for r in res.verdicts.collect() if r["rule_id"].startswith("drift_")]
     assert len(dr) == 3 and all(r["pass"] for r in dr)
     assert res.passed() is True
+
+
+def test_document_signals_null_spans_count_zero(spark):
+    """A NULL spans array contributes 0 (not size()'s non-ANSI -1) to
+    every derived signal — a corpus with NULL-spans rows must not drag
+    the monitored distribution negative (r5 ADVICE fix)."""
+    from automatic_data_validator_spark.drift import document_signals
+    from automatic_data_validator_spark.synth import make_documents
+
+    from pyspark.sql import functions as F
+
+    df = make_documents(spark, 20, n_media=5, seed=7, num_partitions=2)
+    victim = df.agg(F.min("doc_id")).collect()[0][0]
+    nulled = df.select(
+        "doc_id",
+        F.when(F.col("doc_id") == victim, F.lit(None))
+        .otherwise(F.col("spans")).alias("spans"),
+    )
+    rows = document_signals(nulled).collect()
+    assert len(rows) == 20
+    mins = {
+        c: min(r[c] for r in rows)
+        for c in ("n_spans", "text_chars", "n_media_refs")
+    }
+    assert all(v == 0.0 for v in mins.values()), mins
+    # exactly one row (the nulled doc) is all-zero
+    zero_rows = [r for r in rows if r["n_spans"] == 0.0]
+    assert len(zero_rows) == 1
+    assert zero_rows[0]["text_chars"] == 0.0
+    assert zero_rows[0]["n_media_refs"] == 0.0
+
+
+def test_drift_phase_disjoint_baseline_fails_loudly(spark, docs):
+    """A baseline whose columns don't intersect the target must raise,
+    not emit zero verdicts (r5 ADVICE fix: misconfigured monitoring
+    must be distinguishable from passing monitoring)."""
+    import numpy as np
+
+    from automatic_data_validator_spark.drift import TDigest
+
+    bogus = {"no_such_column": TDigest.from_values(np.arange(100.0))}
+    with pytest.raises(Exception) as ei:
+        run_validation(
+            spark, docs, rule_set=[], check_uniqueness=False,
+            with_profile=False, drift_baseline=bogus,
+        )
+    assert "do not intersect" in str(ei.value)
