@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
                          "and save them as the NEXT run's baseline")
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_DOCS",
                     help="generate a synthetic input first (local smoke only)")
+    ap.add_argument("--incremental-state", default=None, metavar="DIR",
+                    help="snapshot-delta mode: validate only files "
+                         "appended since the last run with this state "
+                         "dir and merge (incremental.validate_"
+                         "incremental); --documents must be a parquet "
+                         "path; drift/checkpoint flags don't apply")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -91,6 +97,37 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = read_table(spark, args.documents)
     catalog = read_table(spark, args.catalog) if args.catalog else None
+
+    if args.incremental_state:
+        # snapshot-delta mode: only the files appended since the last
+        # run are scanned; results merge with the persisted state
+        from automatic_data_validator_spark.incremental import (
+            validate_incremental,
+        )
+        from automatic_data_validator_spark.sources import (
+            write_outputs_parallel as _wop,
+        )
+
+        ires = validate_incremental(
+            spark, args.documents, args.incremental_state,
+            catalog=catalog, with_profile=not args.no_profile,
+            rule_version=args.rule_version,
+        )
+        outputs = {"verdicts": ires.verdicts, "violations": ires.violations,
+                   "lineage": ires.lineage}
+        if ires.metrics is not None:
+            outputs["metrics"] = ires.metrics
+        _wop(outputs, args.output)
+        ok = ires.passed()
+        print(
+            f"incremental run: increment={ires.increment} "
+            f"delta_files={ires.n_delta_files} delta_rows={ires.delta_rows} "
+            f"passed={ok}; outputs at {args.output}"
+        )
+        if owns_session:
+            spark.stop()
+        return 0 if ok else 1
+
     snapshot_id = args.snapshot_id
     from automatic_data_validator_spark.sources import is_path_like
 

@@ -1,0 +1,195 @@
+"""Incremental (snapshot-delta) validation: the merged state after N
+increments must equal one full run_validation over the whole corpus —
+violations as a (doc_id, rule_id) multiset, per-rule totals, and
+profile metrics — while each increment reads ONLY the appended files."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from automatic_data_validator_spark.incremental import validate_incremental
+from automatic_data_validator_spark.synth import make_documents, make_media_catalog
+from automatic_data_validator_spark.validate import run_validation
+
+
+def _viol_multiset(df):
+    return sorted(
+        (r["doc_id"], r["rule_id"]) for r in df.select("doc_id", "rule_id").collect()
+    )
+
+
+def _rule_totals(verdicts):
+    return {
+        r["rule_id"]: (int(r["rc"]), int(r["vc"]))
+        for r in verdicts.groupBy("rule_id")
+        .agg(F.sum("row_count").alias("rc"), F.sum("violation_count").alias("vc"))
+        .collect()
+    }
+
+
+def test_incremental_equals_full(spark, tmp_path):
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    cat = make_media_catalog(spark, 200, seed=42)
+
+    b1 = make_documents(spark, 4000, n_media=200, seed=42, num_partitions=3)
+    b1.write.mode("append").parquet(corpus)
+    r1 = validate_incremental(spark, corpus, state, catalog=cat)
+    assert r1.increment == 0 and r1.n_delta_files >= 1
+    assert r1.delta_rows == 4000
+
+    # batch 2 re-uses the doc-%012d id space (ids 0..999 collide with
+    # batch 1) plus its own in-batch dups/hot keys — the cross-increment
+    # case the key index exists for
+    b2 = make_documents(spark, 1000, n_media=200, seed=43, num_partitions=2)
+    b2.write.mode("append").parquet(corpus)
+    r2 = validate_incremental(spark, corpus, state, catalog=cat)
+    assert r2.increment == 1
+    assert r2.delta_rows == 1000  # ONLY the delta was scanned
+
+    full = run_validation(
+        spark, spark.read.parquet(corpus), catalog=cat, with_profile=True
+    )
+    assert _viol_multiset(r2.violations) == _viol_multiset(full.violations)
+
+    inc_tot, full_tot = _rule_totals(r2.verdicts), _rule_totals(full.verdicts)
+    assert set(inc_tot) == set(full_tot)
+    for rid in full_tot:
+        # violation totals match exactly; row totals too (the
+        # uniqueness promotion row carries row_count 0 by design)
+        assert inc_tot[rid][1] == full_tot[rid][1], rid
+        assert inc_tot[rid][0] == full_tot[rid][0], rid
+
+    # metrics: merged partials == single full pass (moments to fp
+    # round-off, HLL identically — register union is order-insensitive)
+    inc_m = {
+        (r["column"], r["metric"]): r["value"] for r in r2.metrics.collect()
+    }
+    full_m = {
+        (r["column"], r["metric"]): r["value"] for r in full.metrics.collect()
+    }
+    assert set(inc_m) == set(full_m)
+    for k, v in full_m.items():
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            assert inc_m[k] is None or math.isnan(inc_m[k]), k
+        else:
+            assert inc_m[k] == pytest.approx(v, rel=1e-9, abs=1e-9), k
+
+
+def test_incremental_noop_and_append_only_contract(spark, tmp_path):
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    make_documents(spark, 500, n_media=50, seed=7, num_partitions=2).write.mode(
+        "append"
+    ).parquet(corpus)
+    r1 = validate_incremental(spark, corpus, state)
+    # no new files: stored state returned, nothing scanned
+    r2 = validate_incremental(spark, corpus, state)
+    assert r2.increment == r1.increment and r2.n_delta_files == 0
+    assert _rule_totals(r2.verdicts) == _rule_totals(r1.verdicts)
+
+    # removing a validated file breaks the append-only contract
+    victim = sorted(
+        f for f in os.listdir(corpus) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(corpus, victim))
+    with pytest.raises(ValueError, match="append-only"):
+        validate_incremental(spark, corpus, state)
+
+
+def test_incremental_schema_drift_raises(spark, tmp_path):
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    make_documents(spark, 200, n_media=20, seed=7, num_partitions=1).write.mode(
+        "append"
+    ).parquet(corpus)
+    validate_incremental(spark, corpus, state)
+    # a new file with a different schema cannot merge
+    make_documents(spark, 50, n_media=20, seed=8, num_partitions=1).withColumn(
+        "extra", F.lit(1)
+    ).write.mode("append").parquet(corpus)
+    with pytest.raises(ValueError, match="schema drift"):
+        validate_incremental(spark, corpus, state)
+
+
+def test_incremental_uniqueness_promotion(spark, tmp_path):
+    """A key unique in increment 0 and duplicated by increment 1 must
+    surface BOTH occurrences — the old one retroactively ('promoted'),
+    without re-reading increment 0's data files."""
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    r1 = validate_incremental(spark, corpus, state, rule_set=[])
+    assert _viol_multiset(r1.violations) == []
+    assert r1.passed()
+
+    spark.createDataFrame(
+        [("c", 4), ("d", 5), ("d", 6)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    r2 = validate_incremental(spark, corpus, state, rule_set=[])
+    assert _viol_multiset(r2.violations) == [
+        ("c", "unique_doc_id"), ("c", "unique_doc_id"),
+        ("d", "unique_doc_id"), ("d", "unique_doc_id"),
+    ]
+    promoted = r2.violations.filter(F.col("detail").contains("promoted"))
+    assert [r["doc_id"] for r in promoted.collect()] == ["c"]
+    assert not r2.passed()
+
+    # and the merged multiset equals a full revalidation
+    full = run_validation(
+        spark, spark.read.parquet(corpus), rule_set=[], with_profile=False
+    )
+    assert _viol_multiset(r2.violations) == _viol_multiset(full.violations)
+
+    # increment 2: yet another 'c' — old occurrences were already
+    # reported (old total 2), so only the new one is emitted; the
+    # multiset still matches full revalidation
+    spark.createDataFrame(
+        [("c", 7), ("e", 8)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    r3 = validate_incremental(spark, corpus, state, rule_set=[])
+    full3 = run_validation(
+        spark, spark.read.parquet(corpus), rule_set=[], with_profile=False
+    )
+    assert _viol_multiset(r3.violations) == _viol_multiset(full3.violations)
+    assert _rule_totals(r3.verdicts)["unique_doc_id"][1] == \
+        _rule_totals(full3.verdicts)["unique_doc_id"][1]
+
+
+def test_incremental_job_flag(spark, tmp_path):
+    """jobs/validate_job.py --incremental-state drives the snapshot-
+    delta path end to end: second invocation after an append validates
+    only the delta and the merged outputs land under --output."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import validate_job
+
+    base = str(tmp_path / "job")
+    make_documents(spark, 2000, n_media=100, seed=42, num_partitions=2).write.mode(
+        "append"
+    ).parquet(f"{base}/docs")
+    make_media_catalog(spark, 100, seed=42).write.mode("overwrite").parquet(
+        f"{base}/cat"
+    )
+    argv = [
+        "--documents", f"{base}/docs", "--catalog", f"{base}/cat",
+        "--output", f"{base}/out", "--incremental-state", f"{base}/state",
+    ]
+    rc = validate_job.main(argv)
+    assert rc == 1  # synth injects violations
+    v1 = spark.read.parquet(f"{base}/out/verdicts")
+    assert v1.agg(F.sum("row_count")).collect()[0][0] > 0
+    make_documents(spark, 500, n_media=100, seed=9, num_partitions=1).write.mode(
+        "append"
+    ).parquet(f"{base}/docs")
+    rc = validate_job.main(argv)
+    assert rc == 1
+    merged = spark.read.parquet(f"{base}/out/violations")
+    assert merged.select("increment").distinct().count() == 2
