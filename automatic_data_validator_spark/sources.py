@@ -329,8 +329,15 @@ def write_iceberg_bucketed(
     writer = df.writeTo(table_name)
     if mode != "append":
         # the transform is table metadata: declared at creation,
-        # inherited by appends
-        writer = writer.partitionedBy(F.bucket(num_buckets, F.col(bucket_key)))
+        # inherited by appends. Spark 4 moved the transform functions
+        # to functions.partitioning (F.bucket is deprecated there).
+        try:
+            from pyspark.sql.functions import partitioning as _P
+
+            transform = _P.bucket(num_buckets, F.col(bucket_key))
+        except ImportError:  # Spark 3.x
+            transform = F.bucket(num_buckets, F.col(bucket_key))
+        writer = writer.partitionedBy(transform)
     try:
         getattr(writer, mode)()
     except Exception as e:
