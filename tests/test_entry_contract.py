@@ -78,7 +78,7 @@ def test_query_matches_oracle(spark, duck, name):
 @pytest.mark.skipif(
     __import__("os").environ.get("SPARK_GRAFT_SWEEP_SF01") != "1",
     reason="10x-scale oracle sweep is opt-in (SPARK_GRAFT_SWEEP_SF01=1); "
-    "run before releases — verified green 2026-08-17 (round 4), 52/52 queries",
+    "run before releases — verified green 2026-08-17 (round 5), 52/52 queries",
 )
 def test_all_oracles_match_at_sf01(spark):
     """Every oracle-checked query compared at sf0.1 — ten times the
