@@ -374,6 +374,23 @@ def drift_report(
     """Sketch current snapshot, compare column-by-column vs baseline."""
     columns = columns or list(baseline_sketches)
     cur = sketch_columns(current_df, columns)
+    return drift_report_sketches(
+        cur, baseline_sketches, columns, ks_threshold, psi_threshold
+    )
+
+
+def drift_report_sketches(
+    cur: "dict[str, TDigest]",
+    baseline_sketches: "dict[str, TDigest]",
+    columns: "list[str] | None" = None,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> list[dict]:
+    """Core of drift_report over ALREADY-BUILT sketches — the entry
+    point for callers that merge digests themselves (incremental mode
+    merges per-increment digests; t-digest merge is associative, so
+    the corpus digest never requires re-reading old increments)."""
+    columns = columns or list(baseline_sketches)
     out = []
     for c in columns:
         if c not in cur or c not in baseline_sketches:

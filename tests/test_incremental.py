@@ -162,6 +162,67 @@ def test_incremental_uniqueness_promotion(spark, tmp_path):
         _rule_totals(full3.verdicts)["unique_doc_id"][1]
 
 
+def test_incremental_drift_merged_sketches(spark, tmp_path):
+    """Drift in incremental mode: only the delta is sketched, the
+    corpus digest is the merge of per-increment digests, and the
+    drifted flags agree with a full run_validation drift phase over
+    the whole corpus."""
+    from automatic_data_validator_spark.drift import (
+        document_signals,
+        sketch_columns,
+    )
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    b1 = make_documents(spark, 4000, n_media=200, seed=42, num_partitions=2)
+    b1.write.mode("append").parquet(corpus)
+    sig = document_signals(b1)
+    baseline = sketch_columns(sig, sig.columns)
+
+    r1 = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False,
+        drift_baseline=baseline, drift_signals=document_signals,
+    )
+    d1 = {r["rule_id"]: r["pass"] for r in r1.verdicts.collect()
+          if r["rule_id"].startswith("drift_")}
+    assert len(d1) == 3 and all(d1.values())
+
+    # in-distribution append: still no drift
+    make_documents(spark, 1000, n_media=200, seed=43, num_partitions=1).write.mode(
+        "append"
+    ).parquet(corpus)
+    r2 = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False,
+        drift_baseline=baseline, drift_signals=document_signals,
+    )
+    d2 = {r["rule_id"]: r["pass"] for r in r2.verdicts.collect()
+          if r["rule_id"].startswith("drift_") and r["increment"] == 1}
+    assert all(d2.values()), d2
+
+    # shifted append (~27% of the corpus collapses to single-span
+    # docs): the MERGED corpus digest must flag n_spans drift
+    shifted = make_documents(
+        spark, 2000, n_media=200, seed=44, num_partitions=1
+    ).select("doc_id", F.slice("spans", 1, 1).alias("spans"))
+    shifted.write.mode("append").parquet(corpus)
+    r3 = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False,
+        drift_baseline=baseline, drift_signals=document_signals,
+    )
+    d3 = {r["rule_id"]: r["pass"] for r in r3.verdicts.collect()
+          if r["rule_id"].startswith("drift_") and r["increment"] == 2}
+    assert d3["drift_n_spans"] is False
+
+    full = run_validation(
+        spark, spark.read.parquet(corpus), rule_set=[],
+        check_uniqueness=False, with_profile=False,
+        drift_baseline=baseline, drift_signals=document_signals,
+    )
+    dfull = {r["rule_id"]: r["pass"] for r in full.verdicts.collect()
+             if r["rule_id"].startswith("drift_")}
+    assert d3 == dfull
+
+
 def test_incremental_job_flag(spark, tmp_path):
     """jobs/validate_job.py --incremental-state drives the snapshot-
     delta path end to end: second invocation after an append validates
