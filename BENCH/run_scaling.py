@@ -190,8 +190,17 @@ and violation outputs are written once (no recompute).
 
 Reproduce: `python BENCH/run_scaling.py {n_docs} {n_lo} {n_hi}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # regenerate only the auto section; hand-written history/variance
+    # notes (everything from the first "## Round-" heading on) survive
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## Round-")
+        if i >= 0:
+            tail = old[i:]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":

@@ -60,7 +60,6 @@ from .profile import build_partial_profile, finalize_partial_profile
 from .state import LINEAGE_SCHEMA, lineage_from_verdicts
 
 _MANIFEST = "manifest.json"
-_STORES = ("verdicts", "violations", "lineage", "key_index", "partials")
 
 
 @dataclass
@@ -170,7 +169,18 @@ def validate_incremental(
         else {"files": [], "increment": -1, "schema": None,
               "rule_version": rule_version}
     )
+    if manifest.get("rule_version", rule_version) != rule_version:
+        raise ValueError(
+            f"rule_version changed ({manifest.get('rule_version')} -> "
+            f"{rule_version}): previously-validated increments were "
+            "checked under different rules and cannot merge — "
+            "re-bootstrap with a fresh state_dir"
+        )
     known = set(manifest["files"])
+    # file inventory via the reader's listing; at a deployment with
+    # millions of files, derive the delta from Iceberg snapshot
+    # manifests (snapshot_id diff) instead of this json list — the
+    # merge machinery below is unchanged
     full = spark.read.parquet(documents_path)
     all_files = sorted(full.inputFiles())
     removed = known - set(all_files)

@@ -92,6 +92,10 @@ def test_incremental_noop_and_append_only_contract(spark, tmp_path):
     assert r2.increment == r1.increment and r2.n_delta_files == 0
     assert _rule_totals(r2.verdicts) == _rule_totals(r1.verdicts)
 
+    # a changed rule_version cannot merge with old increments
+    with pytest.raises(ValueError, match="rule_version"):
+        validate_incremental(spark, corpus, state, rule_version="v2")
+
     # removing a validated file breaks the append-only contract
     victim = sorted(
         f for f in os.listdir(corpus) if f.endswith(".parquet")
