@@ -113,8 +113,13 @@ def main(argv: list[str] | None = None) -> int:
             catalog=catalog, with_profile=not args.no_profile,
             rule_version=args.rule_version,
         )
+        from automatic_data_validator_spark.state import (
+            run_summary as _run_summary,
+        )
+
         outputs = {"verdicts": ires.verdicts, "violations": ires.violations,
-                   "lineage": ires.lineage}
+                   "lineage": ires.lineage,
+                   "run_summary": _run_summary(ires.lineage, ires.verdicts)}
         if ires.metrics is not None:
             outputs["metrics"] = ires.metrics
         _wop(outputs, args.output)

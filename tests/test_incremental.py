@@ -258,3 +258,6 @@ def test_incremental_job_flag(spark, tmp_path):
     assert rc == 1
     merged = spark.read.parquet(f"{base}/out/violations")
     assert merged.select("increment").distinct().count() == 2
+    # run-summary parity with the full-run job path
+    summ = spark.read.parquet(f"{base}/out/run_summary")
+    assert summ.filter("phase = '__run__'").count() == 1
