@@ -227,6 +227,36 @@ def test_incremental_drift_merged_sketches(spark, tmp_path):
     assert d3 == dfull
 
 
+def test_incremental_reads_delta_not_corpus(spark, tmp_path):
+    """The scale guarantee itself, measured: increment 1's input
+    records are a few passes over the DELTA plus one pass over the
+    (narrow) key index — NOT the ~4 full-corpus passes a full
+    revalidation costs. AppStatusStore input-records delta, same
+    technique as test_fused_run_cuts_input_scans."""
+    from tests.test_fused_profile import _input_records
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    n_corpus, n_delta = 20_000, 1_000
+    cat = make_media_catalog(spark, 200, seed=42)
+    make_documents(spark, n_corpus, n_media=200, seed=42, num_partitions=2).write.mode(
+        "append"
+    ).parquet(corpus)
+    validate_incremental(spark, corpus, state, catalog=cat)
+    make_documents(spark, n_delta, n_media=200, seed=43, num_partitions=1).write.mode(
+        "append"
+    ).parquet(corpus)
+    spark.catalog.clearCache()
+    r0 = _input_records(spark)
+    res = validate_incremental(spark, corpus, state, catalog=cat)
+    read = _input_records(spark) - r0
+    assert res.delta_rows == n_delta
+    # budget: ~4 delta passes + 1 key-index pass (n_corpus narrow
+    # rows) + catalog/store slack. A corpus re-scan would add >= 4x
+    # n_corpus on top.
+    assert read <= 2 * n_corpus + 10 * n_delta, (read,)
+
+
 def test_incremental_job_flag(spark, tmp_path):
     """jobs/validate_job.py --incremental-state drives the snapshot-
     delta path end to end: second invocation after an append validates
