@@ -60,6 +60,27 @@ from .profile import build_partial_profile, finalize_partial_profile
 from .state import LINEAGE_SCHEMA, lineage_from_verdicts
 
 _MANIFEST = "manifest.json"
+# multiset key checksum: sum over rows of xxhash64(key) mod P, plus the
+# row count — additive across increments (computed on each delta from
+# the already-aggregated key-location frame) and recomputable from a
+# compacted corpus in ONE key-only scan, so rebase_after_compaction can
+# verify the rewrite preserved the row multiset without trusting it
+_CHECKSUM_P = 2**40
+
+
+def _key_checksum(loc: DataFrame) -> tuple[int, int]:
+    """(rows, hash) over a (doc_id, cnt) aggregate — decimal(38) sum so
+    10^12 rows cannot overflow."""
+    row = loc.agg(
+        F.sum("cnt").alias("rows"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * F.pmod(F.xxhash64("doc_id"), F.lit(_CHECKSUM_P)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("hash"),
+    ).collect()[0]
+    return int(row["rows"] or 0), int(row["hash"] or 0)
 
 
 @dataclass
@@ -148,10 +169,10 @@ def validate_incremental(
     state and return the CORPUS-level result. First call = bootstrap
     (every file is delta, semantics equal a full run_validation).
 
-    Contract: append-only input (a removed or rewritten file raises —
-    compaction requires a fresh state_dir or a full revalidation) and
-    a frozen schema (schema drift raises; run drift.schema_drift
-    first). ``catalog`` is treated as static; if the catalog loses
+    Contract: append-only input (a removed or rewritten file raises;
+    after a row-preserving compaction run ``rebase_after_compaction``
+    to re-point the state with checksum verification) and a frozen
+    schema (schema drift raises; run drift.schema_drift first). ``catalog`` is treated as static; if the catalog loses
     refs, previously-validated docs are NOT re-checked — re-bootstrap
     for that.
 
@@ -189,8 +210,9 @@ def validate_incremental(
             f"incremental state at {state_dir} knows "
             f"{len(removed)} file(s) no longer in the input (e.g. "
             f"{sorted(removed)[0]}); the append-only contract is "
-            "broken (compaction/rewrite) — start a fresh state_dir "
-            "or run a full validation"
+            "broken — if this was a row-preserving compaction, run "
+            "rebase_after_compaction() first; otherwise start a fresh "
+            "state_dir or run a full validation"
         )
     delta_files = [f for f in all_files if f not in known]
     inc = int(manifest["increment"]) + 1
@@ -339,6 +361,8 @@ def validate_incremental(
         _write_inc(violations_inc, os.path.join(state_dir, "violations"), inc)
         _write_inc(lineage_inc, os.path.join(state_dir, "lineage"), inc)
         _write_inc(delta_loc, os.path.join(state_dir, "key_index"), inc)
+        # checksum reads the cached aggregate, not the input
+        d_rows, d_hash = _key_checksum(delta_loc)
         delta_loc.unpersist()
 
         metrics = None
@@ -368,6 +392,16 @@ def validate_incremental(
     finally:
         per_part.unpersist()
 
+    # running key checksum (additive, computed above from the cached
+    # key-location aggregate): lets rebase_after_compaction verify a
+    # rewritten corpus
+    old_ck = manifest.get("checksum") or {"rows": 0, "hash": 0}
+    checksum = {
+        "rows": int(old_ck["rows"]) + d_rows,
+        "hash": int(old_ck["hash"]) + d_hash,
+        "key_column": key_column,
+    }
+
     # manifest LAST: a crash above leaves the old manifest, and the
     # re-run dynamically overwrites this increment's partitions
     manifest = {
@@ -375,6 +409,7 @@ def validate_incremental(
         "increment": inc,
         "schema": schema_str,
         "rule_version": rule_version,
+        "checksum": checksum,
     }
     os.makedirs(state_dir, exist_ok=True)
     tmp = mpath + ".tmp"
@@ -397,6 +432,68 @@ def validate_incremental(
         n_delta_files=len(delta_files),
         delta_rows=delta_rows,
     )
+
+
+def rebase_after_compaction(
+    spark: SparkSession,
+    documents_path: str,
+    state_dir: str,
+    verify: bool = True,
+) -> int:
+    """Re-point incremental state at a COMPACTED corpus (files
+    rewritten, row multiset unchanged) — the operation the append-only
+    contract otherwise forbids. Compaction is routine at 100-TB scale
+    (Iceberg rewrite_data_files), and none of the persisted state
+    actually depends on file identity: verdicts/violations are facts
+    about rows, the key index is per-key, partials are per-(increment,
+    partition). Only the manifest's file inventory goes stale.
+
+    With ``verify`` (default), the compacted corpus's key multiset is
+    checked against the manifest's running checksum — ONE key-only
+    columnar scan (the cheap pass compaction already paid for) — and a
+    mismatch raises instead of silently validating against different
+    data. The checksum covers the KEY multiset only; a rewrite that
+    corrupted non-key columns while preserving keys passes undetected
+    — for full re-verification, re-bootstrap. Rebase against a
+    snapshot that ONLY compacted: if the same snapshot also appended
+    rows, the checksum won't match (validate the pre-compaction
+    snapshot first, or compact and append in separate snapshots, as
+    Iceberg's rewrite_data_files does). Returns the number of files in
+    the new inventory."""
+    mpath = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(f"no incremental state at {state_dir}")
+    manifest = json.load(open(mpath))
+    full = spark.read.parquet(documents_path)
+    all_files = sorted(full.inputFiles())
+    ck = manifest.get("checksum")
+    if verify:
+        if not ck:
+            raise ValueError(
+                "manifest has no checksum (state from an engine version "
+                "before rebase support) — cannot verify; re-bootstrap "
+                "or pass verify=False at your own risk"
+            )
+        key_column = ck.get("key_column", "doc_id")
+        loc = (
+            full.select(F.col(key_column).cast("string").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rows, hsh = _key_checksum(loc)
+        if rows != int(ck["rows"]) or hsh != int(ck["hash"]):
+            raise ValueError(
+                "compacted corpus does not match the validated state: "
+                f"rows {rows} vs {ck['rows']}, key-hash {hsh} vs "
+                f"{ck['hash']} — the rewrite changed the row multiset; "
+                "re-bootstrap instead of rebasing"
+            )
+    manifest["files"] = all_files
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return len(all_files)
 
 
 def _incremental_drift(

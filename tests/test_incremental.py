@@ -227,6 +227,62 @@ def test_incremental_drift_merged_sketches(spark, tmp_path):
     assert d3 == dfull
 
 
+def test_rebase_after_compaction(spark, tmp_path):
+    """Compaction rewrites files but preserves the row multiset; after
+    rebase_after_compaction the state accepts the new inventory and
+    the NEXT increment still merges correctly (equals full
+    revalidation). A rewrite that drops a row must be refused."""
+    import shutil
+
+    from automatic_data_validator_spark.incremental import (
+        rebase_after_compaction,
+    )
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    cat = make_media_catalog(spark, 100, seed=42)
+    make_documents(spark, 3000, n_media=100, seed=42, num_partitions=3).write.mode(
+        "append"
+    ).parquet(corpus)
+    validate_incremental(spark, corpus, state, catalog=cat)
+
+    # simulate Iceberg rewrite_data_files: same rows, one file
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(corpus).coalesce(1).write.parquet(compacted)
+    shutil.rmtree(corpus)
+    shutil.move(compacted, corpus)
+    # without rebase: append-only contract fires
+    with pytest.raises(ValueError, match="append-only"):
+        validate_incremental(spark, corpus, state, catalog=cat)
+    n = rebase_after_compaction(spark, corpus, state)
+    assert n >= 1
+
+    # post-rebase increment behaves exactly like pre-compaction
+    make_documents(spark, 800, n_media=100, seed=5, num_partitions=1).write.mode(
+        "append"
+    ).parquet(corpus)
+    r2 = validate_incremental(spark, corpus, state, catalog=cat)
+    assert r2.delta_rows == 800
+    full = run_validation(spark, spark.read.parquet(corpus), catalog=cat)
+    assert _viol_multiset(r2.violations) == _viol_multiset(full.violations)
+
+    # corrupted 'compaction' (drops a row) must be refused
+    state2 = str(tmp_path / "state2")
+    corpus2 = str(tmp_path / "docs2")
+    make_documents(spark, 500, n_media=100, seed=7, num_partitions=1).write.mode(
+        "append"
+    ).parquet(corpus2)
+    validate_incremental(spark, corpus2, state2)
+    bad = str(tmp_path / "bad")
+    df2 = spark.read.parquet(corpus2)
+    victim = df2.agg(F.min("doc_id")).collect()[0][0]
+    df2.filter(F.col("doc_id") != victim).coalesce(1).write.parquet(bad)
+    shutil.rmtree(corpus2)
+    shutil.move(bad, corpus2)
+    with pytest.raises(ValueError, match="row multiset"):
+        rebase_after_compaction(spark, corpus2, state2)
+
+
 def test_incremental_reads_delta_not_corpus(spark, tmp_path):
     """The scale guarantee itself, measured: increment 1's input
     records are a few passes over the DELTA plus one pass over the
