@@ -204,6 +204,35 @@ def main() -> None:
         f"({n_viol} violation rows, best of 3; "
         f"{dps_per_probe} docs/s per probe-unit)")
 
+    # --- incremental mode: a 5% delta against persisted state ----------
+    # Wall seconds only, for transparency: at sandbox scale the
+    # increment's time is dominated by fixed job-scheduling overhead
+    # (~15 small jobs for stores/merges), NOT the design — the scale
+    # claim is about scan volume, and that is pinned precisely by
+    # tests/test_incremental.py::test_incremental_reads_delta_not_corpus
+    # (increment input records <= a few delta passes + one narrow
+    # key-index pass; a corpus re-scan would cost 4x corpus on top).
+    # Separate JSON fields — the headline `value` stays comparable.
+    from automatic_data_validator_spark.incremental import validate_incremental
+
+    validate_incremental(  # untimed bootstrap over the same corpus
+        spark, f"{work}/documents", f"{work}/inc_state", catalog=catalog
+    )
+    delta_docs = max(n_docs // 20, 1000)
+    make_documents(spark, delta_docs, n_media=n_media, seed=99).write.mode(
+        "append"
+    ).parquet(f"{work}/documents")
+    t0 = time.perf_counter()
+    ires = validate_incremental(
+        spark, f"{work}/documents", f"{work}/inc_state", catalog=catalog
+    )
+    inc_dt = time.perf_counter() - t0
+    assert ires.delta_rows == delta_docs
+    log(
+        f"incremental: {inc_dt:.3f}s for a {delta_docs}-doc delta "
+        f"(fixed-overhead-bound at this scale; see scan-budget test)"
+    )
+
     # untimed: the run-level rollup the reference prints per session
     # (state.run_summary; round-3 VERDICT directive #4)
     from automatic_data_validator_spark.state import run_summary
@@ -231,6 +260,8 @@ def main() -> None:
                 "host_probe_units_per_sec": round(probe_at_best, 2),
                 "docs_per_sec_per_probe_unit": dps_per_probe,
                 "e2e_trials_sec": [round(t, 3) for t, _ in trials],
+                "incremental_delta_sec": round(inc_dt, 3),
+                "incremental_delta_docs": delta_docs,
                 "n_docs": n_docs,
                 "cpus": cpus,
             }
