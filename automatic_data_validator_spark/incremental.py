@@ -357,10 +357,25 @@ def validate_incremental(
         lineage_inc = lineage_rows[0]
         for l in lineage_rows[1:]:
             lineage_inc = lineage_inc.unionByName(l)
-        _write_inc(verdicts_inc, os.path.join(state_dir, "verdicts"), inc)
-        _write_inc(violations_inc, os.path.join(state_dir, "violations"), inc)
-        _write_inc(lineage_inc, os.path.join(state_dir, "lineage"), inc)
-        _write_inc(delta_loc, os.path.join(state_dir, "key_index"), inc)
+        # the four stores are independent: write them concurrently
+        # (Spark job submission is thread-safe; same rationale as
+        # sources.write_outputs_parallel) — the increment's cost is
+        # mostly fixed per-job overhead, so overlapping the small jobs
+        # directly cuts wall time
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as wpool:
+            futs = [
+                wpool.submit(_write_inc, df, os.path.join(state_dir, name), inc)
+                for df, name in (
+                    (verdicts_inc, "verdicts"),
+                    (violations_inc, "violations"),
+                    (lineage_inc, "lineage"),
+                    (delta_loc, "key_index"),
+                )
+            ]
+            for fut in futs:
+                fut.result()
         # checksum reads the cached aggregate, not the input
         d_rows, d_hash = _key_checksum(delta_loc)
         delta_loc.unpersist()
