@@ -227,6 +227,41 @@ def test_incremental_drift_merged_sketches(spark, tmp_path):
     assert d3 == dfull
 
 
+def test_incremental_random_sequences_equal_full(spark, tmp_path):
+    """Seeded randomized append sequences over a small key universe —
+    every increment's merged violations must equal a full revalidation
+    regardless of the dup pattern (old_cnt 0/1/2+, multi-copy deltas,
+    keys recurring across three increments). Stresses the promotion
+    invariant beyond the hand-built cases."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        corpus = str(tmp_path / f"docs{trial}")
+        state = str(tmp_path / f"state{trial}")
+        universe = [f"k{i:03d}" for i in range(30)]
+        for _ in range(3):
+            n = rng.randint(1, 25)
+            rows = [(rng.choice(universe), rng.randint(0, 9)) for _ in range(n)]
+            spark.createDataFrame(
+                rows, "doc_id string, value int"
+            ).coalesce(1).write.mode("append").parquet(corpus)
+            r = validate_incremental(
+                spark, corpus, state, rule_set=[], with_profile=False
+            )
+            full = run_validation(
+                spark, spark.read.parquet(corpus), rule_set=[],
+                with_profile=False,
+            )
+            assert _viol_multiset(r.violations) == _viol_multiset(
+                full.violations
+            ), (trial, rows)
+            assert (
+                _rule_totals(r.verdicts)["unique_doc_id"][1]
+                == _rule_totals(full.verdicts)["unique_doc_id"][1]
+            ), (trial, rows)
+
+
 def test_rebase_after_compaction(spark, tmp_path):
     """Compaction rewrites files but preserves the row multiset; after
     rebase_after_compaction the state accepts the new inventory and
