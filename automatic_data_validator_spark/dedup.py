@@ -21,6 +21,7 @@ path).
 from __future__ import annotations
 
 import pyarrow as pa  # module-level: arrow_udf resolves type hints here
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -1208,3 +1209,219 @@ def neardup_dedup(
         df, verified.select("id_a", "id_b"), id_col
     )
     return kept, drop_list, verified, oversize
+
+
+@dataclass
+class IncrementalNeardupResult:
+    """State after one near-dup increment: ``new_pairs`` verified this
+    increment, ``pairs`` = every verified pair so far (with an
+    ``increment`` column), ``drop_list`` = (doc_id, component) over the
+    merged pair set, ``oversize_buckets`` = buckets whose COMBINED
+    (old + delta) size exceeded the cap this increment."""
+
+    new_pairs: DataFrame
+    pairs: DataFrame
+    drop_list: DataFrame
+    oversize_buckets: DataFrame
+    increment: int
+    n_delta_files: int
+
+
+def incremental_neardup(
+    spark: Any,
+    corpus_path: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
+    signature_impl: str = "arrow",
+    broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
+) -> IncrementalNeardupResult:
+    """Snapshot-delta near-duplicate detection: sign ONLY the files
+    appended since the last call, find candidates against a persisted
+    (_id, band, bucket) signature store, verify, and merge — the
+    corpus is never re-signed (the Python-UDF MinHash chain, the
+    dominant cost, runs over delta rows only).
+
+    Why this is sound: LSH pair discovery is a pairwise co-bucket
+    property — two docs pair iff they share a (band, bucket) — so
+    every pair is found exactly once, at the increment its LATER
+    member arrives: new-new pairs inside the delta's buckets, new-old
+    pairs by joining the delta's banded rows against the store on
+    (band, bucket). Old-old pairs were found when those docs were the
+    delta. The verify step fetches ONLY the candidate ids' texts from
+    the corpus (column-pruned semi join; candidates are bounded), so
+    the full text column is never re-read either.
+
+    Bucket-cap semantics differ from the one-shot ``neardup_dedup``:
+    the cap applies to the COMBINED (stored + delta) bucket size at
+    each increment — a bucket that outgrows the cap stops producing
+    NEW pairs (visible in ``oversize_buckets``) but its earlier pairs
+    are kept, whereas a one-shot run would drop the bucket entirely.
+    Below the cap the merged pair set equals the one-shot run's
+    (pinned by test). LSH parameters are pinned in the manifest —
+    mixing signature parameters across increments raises.
+
+    Same manifest/store discipline as incremental.validate_incremental:
+    per-increment dynamic-overwrite stores, manifest committed last,
+    crashed increments re-run idempotently.
+    """
+    import json as _json
+    import os as _os
+
+    from .incremental import _read_store, _write_inc
+
+    params = {
+        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
+        "jaccard_threshold": jaccard_threshold,
+        "signature_impl": signature_impl, "id_col": id_col,
+        "text_col": text_col,
+    }
+    mpath = _os.path.join(state_dir, "neardup_manifest.json")
+    manifest = (
+        _json.load(open(mpath)) if _os.path.exists(mpath)
+        else {"files": [], "increment": -1, "params": params}
+    )
+    if manifest["params"] != params:
+        raise ValueError(
+            "LSH parameters changed between increments "
+            f"({manifest['params']} -> {params}); signatures cannot "
+            "merge — re-bootstrap with a fresh state_dir"
+        )
+    corpus = spark.read.parquet(corpus_path)
+    all_files = sorted(corpus.inputFiles())
+    known = set(manifest["files"])
+    removed = known - set(all_files)
+    if removed:
+        raise ValueError(
+            f"{len(removed)} validated file(s) disappeared (e.g. "
+            f"{sorted(removed)[0]}): append-only contract broken — "
+            "re-bootstrap (the banded store keys on doc ids, so a "
+            "row-preserving compaction only needs the manifest "
+            "re-pointed; no rebase helper here yet)"
+        )
+    delta_files = [f for f in all_files if f not in known]
+    inc = int(manifest["increment"]) + 1
+    pairs_path = _os.path.join(state_dir, "pairs")
+    if not delta_files:
+        pairs = _read_store(spark, pairs_path)
+        if pairs is None:
+            raise ValueError(f"no input files and no prior state at {state_dir}")
+        _, drop_list = dedup_keep_representatives(
+            corpus.limit(0), pairs.select("id_a", "id_b"), id_col
+        )
+        empty_over = spark.createDataFrame(
+            [], "band int, bucket long, n_docs long"
+        )
+        return IncrementalNeardupResult(
+            pairs.limit(0).select("id_a", "id_b", "jaccard"),
+            pairs, drop_list, empty_over,
+            int(manifest["increment"]), 0,
+        )
+
+    delta = spark.read.parquet(*delta_files)
+    banded_delta = _lsh_band_buckets(
+        delta, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
+    ).persist()
+    try:
+        # combined bucket sizes from the ADDITIVE counts store — the
+        # cap must see old + delta together, and summing tiny
+        # per-increment count rows avoids re-scanning the banded store
+        delta_counts = banded_delta.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        counts_hist = _read_store(spark, _os.path.join(state_dir, "bucket_counts"))
+        if counts_hist is not None:
+            old_counts = counts_hist.groupBy("band", "bucket").agg(
+                F.sum("n").alias("n_old")
+            )
+        else:
+            old_counts = spark.createDataFrame(
+                [], "band int, bucket long, n_old long"
+            )
+        combined = (
+            delta_counts.join(old_counts, ["band", "bucket"], "left")
+            .withColumn("n_old", F.coalesce(F.col("n_old"), F.lit(0)))
+            .withColumn("total", F.col("n") + F.col("n_old"))
+        )
+        oversize = (
+            combined.filter(F.col("total") > max_bucket_size)
+            .select("band", "bucket", F.col("total").alias("n_docs"))
+            .localCheckpoint(eager=True)
+        )
+        ok_buckets = combined.filter(
+            F.col("total") <= max_bucket_size
+        ).select("band", "bucket")
+        banded_ok = banded_delta.join(ok_buckets, ["band", "bucket"])
+
+        # new-new candidates inside the delta's (capped) buckets
+        cand = _pairs_from_banded(banded_ok, max_bucket_size)
+        # new-old candidates: delta rows vs the signature STORE on the
+        # 8-byte (band, bucket) key — the store is narrow (3 cols); at
+        # deployment write it bucketed on (band, bucket) so only the
+        # delta side shuffles
+        old_banded = _read_store(spark, _os.path.join(state_dir, "banded"))
+        if old_banded is not None:
+            cross = (
+                banded_ok.join(
+                    old_banded.select(
+                        F.col("_id").alias("_id_old"), "band", "bucket"
+                    ),
+                    ["band", "bucket"],
+                )
+                .select(
+                    F.least("_id", "_id_old").alias("id_a"),
+                    F.greatest("_id", "_id_old").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+            cand = cand.unionByName(cross).distinct()
+
+        # verify: fetch ONLY candidate ids' texts (column-pruned,
+        # count-gated broadcast semi join against the corpus)
+        cand = cand.localCheckpoint(eager=True)
+        ids = (
+            cand.select(F.col("id_a").alias("_cid"))
+            .unionByName(cand.select(F.col("id_b").alias("_cid")))
+            .distinct()
+        )
+        n_ids = ids.count()
+        id_side = (
+            F.broadcast(ids) if n_ids <= broadcast_limit else ids.hint("merge")
+        )
+        texts = corpus.select(
+            F.col(id_col), F.col(text_col)
+        ).join(id_side, F.col(id_col) == F.col("_cid"), "left_semi")
+        verified = (
+            ngram_jaccard(
+                texts, id_col, text_col, cand, shingle_k=shingle_k,
+                broadcast_limit=broadcast_limit,
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .localCheckpoint(eager=True)
+        )
+
+        _write_inc(banded_delta, _os.path.join(state_dir, "banded"), inc)
+        _write_inc(delta_counts, _os.path.join(state_dir, "bucket_counts"), inc)
+        _write_inc(verified, pairs_path, inc)
+    finally:
+        banded_delta.unpersist()
+
+    pairs = _read_store(spark, pairs_path)
+    _, drop_list = dedup_keep_representatives(
+        corpus.limit(0), pairs.select("id_a", "id_b"), id_col
+    )
+    manifest = {"files": all_files, "increment": inc, "params": params}
+    _os.makedirs(state_dir, exist_ok=True)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    _os.replace(tmp, mpath)
+    return IncrementalNeardupResult(
+        verified, pairs, drop_list, oversize, inc, len(delta_files)
+    )

@@ -702,3 +702,83 @@ def test_neardup_dedup_zero_dups_after_clean(spark):
     assert pairs2.count() == 0 and drop2.count() == 0
     assert kept2.count() == n_kept
     pairs2.unpersist()
+
+
+def test_incremental_neardup_equals_oneshot(spark, tmp_path):
+    """Snapshot-delta near-dup: three appends (the third completes a
+    clique STARTED two increments earlier), signatures computed only
+    over each delta, candidates found against the persisted banded
+    store — and the merged pair set + drop list equal a one-shot
+    neardup_dedup over the whole corpus."""
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "nd_state")
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "one two three four five six seven eight nine ten",
+    ]
+
+    def rows(ids, clique=None):
+        out = []
+        for i in ids:
+            if clique is not None:
+                out.append((i, bodies[clique] + f" x{i % 10}"))
+            else:
+                out.append((i, f"totally unrelated document number {i} "
+                               f"with words {i*7} {i*13}"))
+        return out
+
+    batches = [
+        rows(range(0, 10), 0) + rows(range(30, 40)),
+        rows(range(10, 20), 1) + rows(range(20, 25), 2) + rows(range(40, 50)),
+        rows(range(25, 30), 2) + rows(range(50, 60)),
+    ]
+    results = []
+    for batch in batches:
+        spark.createDataFrame(
+            pd.DataFrame(batch, columns=["doc_id", "text"])
+        ).coalesce(1).write.mode("append").parquet(corpus)
+        results.append(
+            D.incremental_neardup(
+                spark, corpus, state, "doc_id", "text",
+                jaccard_threshold=0.5,
+            )
+        )
+    r1, r2, r3 = results
+    assert (r1.increment, r2.increment, r3.increment) == (0, 1, 2)
+    assert r1.oversize_buckets.count() == 0
+
+    def pairset(df):
+        return sorted(
+            (r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()
+        )
+
+    # increment 2's new pairs must include CROSS-increment pairs:
+    # clique C spans increments 1 (ids 20-24) and 2 (ids 25-29)
+    new3 = pairset(r3.new_pairs)
+    assert any(a < 25 <= b for a, b in new3), new3
+
+    full_kept, full_drop, full_pairs, _ov = D.neardup_dedup(
+        spark.read.parquet(corpus), "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert pairset(r3.pairs) == pairset(full_pairs)
+    inc_drop = sorted(r["doc_id"] for r in r3.drop_list.collect())
+    one_drop = sorted(r["doc_id"] for r in full_drop.collect())
+    assert inc_drop == one_drop
+
+    # no-op call: nothing appended -> stored pairs, no new ones
+    r4 = D.incremental_neardup(
+        spark, corpus, state, "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert r4.increment == 2 and r4.n_delta_files == 0
+    assert r4.new_pairs.count() == 0
+    assert pairset(r4.pairs) == pairset(full_pairs)
+
+    # changed LSH params cannot merge with the stored signatures
+    import pytest
+
+    with pytest.raises(ValueError, match="parameters changed"):
+        D.incremental_neardup(
+            spark, corpus, state, "doc_id", "text",
+            jaccard_threshold=0.5, num_hashes=32, bands=32,
+        )
