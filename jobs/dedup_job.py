@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--incremental-state", default=None, metavar="DIR",
+                    help="snapshot-delta mode: sign only files appended "
+                         "since the last run with this state dir "
+                         "(dedup.incremental_neardup); --documents must "
+                         "be a parquet path")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,6 +70,33 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("advs-dedup").getOrCreate()
+
+    if args.incremental_state:
+        from automatic_data_validator_spark.dedup import incremental_neardup
+
+        r = incremental_neardup(
+            spark, args.documents, args.incremental_state,
+            args.id_col, args.text_col,
+            jaccard_threshold=args.tau, num_hashes=args.num_hashes,
+            bands=args.bands, shingle_k=args.shingle_k,
+        )
+        write_outputs_parallel(
+            {"pairs": r.pairs, "new_pairs": r.new_pairs,
+             "drop_list": r.drop_list,
+             "oversize_buckets": r.oversize_buckets},
+            args.output,
+        )
+        print(
+            f"incremental dedup: increment={r.increment} "
+            f"delta_files={r.n_delta_files} "
+            f"new_pairs={spark.read.parquet(f'{args.output}/new_pairs').count()} "
+            f"total_pairs={spark.read.parquet(f'{args.output}/pairs').count()} "
+            f"dropped={spark.read.parquet(f'{args.output}/drop_list').count()}; "
+            f"outputs at {args.output}"
+        )
+        if owns_session:
+            spark.stop()
+        return 0
 
     docs = read_table(spark, args.documents)
     # the audit comes from neardup_dedup's own banded frame — a
