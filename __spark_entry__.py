@@ -1015,8 +1015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence sit past it: q06 (IQR — same predicate re-checked by
     # q43's full quality score), q17 (year rollup — subsumed by q37
     # cube/rollup and q40 pivot), q42 (date arithmetic — pinned by
-    # the datetime pytest suite). All 53 still run in the builder's
-    # opt-in sf0.1 sweep (test_entry_contract).
+    # the datetime pytest suite). This trades WHICH gate checks them,
+    # not WHETHER they are checked: all 53 queries run against their
+    # DuckDB oracles on every DEFAULT `pytest tests/` invocation
+    # (test_entry_contract.test_query_matches_oracle is parametrized
+    # over the full dict, cap-free) and again in the opt-in sf0.1
+    # sweep — a regression in the displaced three still fails CI,
+    # just not the driver's 50-row file.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_null_counts": q02_null_counts,

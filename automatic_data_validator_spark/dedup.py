@@ -1336,6 +1336,12 @@ def incremental_neardup(
         )
         counts_hist = _read_store(spark, _os.path.join(state_dir, "bucket_counts"))
         if counts_hist is not None:
+            # crash-recovery: a crashed attempt at THIS increment may
+            # have written its partitions before dying (manifest last)
+            # — counting them would double the delta's bucket sizes,
+            # falsely tripping the cap and permanently losing pairs
+            counts_hist = counts_hist.filter(F.col("increment") < inc)
+        if counts_hist is not None:
             old_counts = counts_hist.groupBy("band", "bucket").agg(
                 F.sum("n").alias("n_old")
             )
@@ -1365,6 +1371,11 @@ def incremental_neardup(
         # deployment write it bucketed on (band, bucket) so only the
         # delta side shuffles
         old_banded = _read_store(spark, _os.path.join(state_dir, "banded"))
+        if old_banded is not None:
+            # same crash-recovery filter: the store must present only
+            # COMMITTED increments (else delta docs would pair with
+            # their own orphaned signatures as "old" docs)
+            old_banded = old_banded.filter(F.col("increment") < inc)
         if old_banded is not None:
             cross = (
                 banded_ok.join(

@@ -107,11 +107,19 @@ class IncrementalResult:
         store)."""
         v = self.verdicts
         if "increment" in v.columns:
-            latest = v.agg(F.max("increment")).collect()[0][0]
-            v = v.filter(
-                (~F.col("rule_id").startswith("drift_"))
-                | (F.col("increment") == latest)
+            # latest increment WITH drift rows, not the global latest:
+            # an increment that (somehow) carried no drift rows must
+            # not make a standing drift failure vanish un-re-evaluated
+            latest = (
+                v.filter(F.col("rule_id").startswith("drift_"))
+                .agg(F.max("increment"))
+                .collect()[0][0]
             )
+            if latest is not None:
+                v = v.filter(
+                    (~F.col("rule_id").startswith("drift_"))
+                    | (F.col("increment") == latest)
+                )
         return v.filter(~F.col("pass")).limit(1).count() == 0
 
 
@@ -132,12 +140,21 @@ def _read_store(
     — partitionBy writes nothing for an empty frame, so a clean corpus
     legitimately produces a file-less violations store) falls back to
     an empty frame of ``schema`` (+ the increment partition column)
-    when given, else None."""
+    when given, else None.
+
+    Only the genuinely-empty case falls back: a store that HAS parquet
+    files but fails to read (corrupt footer, IO error) propagates —
+    treating it as 'never written' would silently skip merged checks
+    (e.g. an unreadable key index would pass every cross-increment
+    duplicate) and produce false-pass results."""
     if os.path.isdir(path):
-        try:
+        has_files = any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+        )
+        if has_files:
             return spark.read.parquet(path)
-        except Exception:
-            pass
     if schema is None:
         return None
     from pyspark.sql import types as T
@@ -196,6 +213,19 @@ def validate_incremental(
             f"{rule_version}): previously-validated increments were "
             "checked under different rules and cannot merge — "
             "re-bootstrap with a fresh state_dir"
+        )
+    # profile/drift participation must be consistent across increments:
+    # an increment that skips them would silently VANISH from every
+    # future merged metric / corpus digest (the merges read only what
+    # was stored) while the results still claim corpus-level coverage
+    modes = {"with_profile": bool(with_profile),
+             "drift": drift_baseline is not None}
+    if manifest.get("modes") is not None and manifest["modes"] != modes:
+        raise ValueError(
+            f"profile/drift participation changed ({manifest['modes']} "
+            f"-> {modes}): increments that skip a merged family drop "
+            "out of the corpus-level result silently — keep the flags "
+            "consistent for the state_dir's lifetime, or re-bootstrap"
         )
     known = set(manifest["files"])
     # file inventory via the reader's listing; at a deployment with
@@ -425,6 +455,7 @@ def validate_incremental(
         "schema": schema_str,
         "rule_version": rule_version,
         "checksum": checksum,
+        "modes": modes,
     }
     os.makedirs(state_dir, exist_ok=True)
     tmp = mpath + ".tmp"
@@ -619,6 +650,12 @@ def _incremental_uniqueness(
         F.sum("cnt").alias("new_cnt")
     )
     idx = _read_store(spark, os.path.join(state_dir, "key_index"))
+    if idx is not None:
+        # crash-recovery: a crashed attempt at THIS increment may have
+        # written its key_index partition before dying (manifest is
+        # committed last) — reading it back would count every delta
+        # key against itself and report the whole delta as duplicates
+        idx = idx.filter(F.col("increment") < inc)
     if idx is not None:
         hits = idx.join(delta_tot.select("doc_id"), "doc_id").persist()
         old_tot = hits.groupBy("doc_id").agg(F.sum("cnt").alias("old_cnt"))

@@ -341,6 +341,19 @@ def write_iceberg_bucketed(
     try:
         getattr(writer, mode)()
     except Exception as e:
+        # re-label ONLY catalog/transform-capability rejections (the
+        # session catalog raises UNSUPPORTED_FEATURE / "does not
+        # support" / transform errors); anything else — table already
+        # exists, missing column, permissions — propagates unchanged
+        # so the operator debugs the real problem, not cluster config
+        msg = str(e)
+        capability = any(
+            s in msg
+            for s in ("UNSUPPORTED_FEATURE", "does not support",
+                      "TRANSFORM", "transform")
+        )
+        if not capability:
+            raise
         raise RuntimeError(
             f"write_iceberg_bucketed('{table_name}') needs a catalog "
             "with Iceberg partition-transform support "

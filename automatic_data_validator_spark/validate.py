@@ -368,16 +368,22 @@ def run_validation(
             cols = drift_columns or sorted(
                 set(baseline) & set(target.columns)
             )
-            if not cols:
-                # a baseline whose columns don't intersect the target
-                # (wrong baseline file, wrong signals frame) would
-                # otherwise emit ZERO verdicts — indistinguishable
-                # from a passing check. Fail loudly instead.
+            # a misconfigured check (disjoint baseline, or explicit
+            # drift_columns naming columns the baseline/target lack)
+            # would otherwise emit ZERO verdicts for those columns —
+            # indistinguishable from a passing check. Fail loudly.
+            unmatched = [
+                c for c in cols
+                if c not in baseline or c not in target.columns
+            ]
+            if not cols or unmatched:
                 raise ValueError(
-                    "drift phase: baseline columns "
-                    f"{sorted(baseline)} do not intersect target "
-                    f"columns {sorted(target.columns)}; misconfigured "
-                    "baseline or drift_signals"
+                    "drift phase: columns "
+                    f"{unmatched or sorted(target.columns)} do not "
+                    f"intersect baseline columns {sorted(baseline)} "
+                    f"and target columns {sorted(target.columns)}; "
+                    "misconfigured baseline, drift_columns, or "
+                    "drift_signals"
                 )
             report = DR.drift_report(
                 target, baseline, cols,

@@ -219,9 +219,15 @@ def main() -> None:
         spark, f"{work}/documents", f"{work}/inc_state", catalog=catalog
     )
     delta_docs = max(n_docs // 20, 1000)
-    make_documents(spark, delta_docs, n_media=n_media, seed=99).write.mode(
-        "append"
-    ).parquet(f"{work}/documents")
+    # fresh id space: make_documents re-uses doc-%012d from 0, which
+    # would make EVERY delta key collide with the corpus — that would
+    # time a pathological all-duplicate increment, not a realistic
+    # append (round-5 review finding)
+    from pyspark.sql import functions as _F2
+
+    make_documents(spark, delta_docs, n_media=n_media, seed=99).withColumn(
+        "doc_id", _F2.concat(_F2.lit("inc1-"), _F2.col("doc_id"))
+    ).write.mode("append").parquet(f"{work}/documents")
     t0 = time.perf_counter()
     ires = validate_incremental(
         spark, f"{work}/documents", f"{work}/inc_state", catalog=catalog

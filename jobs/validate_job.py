@@ -108,10 +108,38 @@ def main(argv: list[str] | None = None) -> int:
             write_outputs_parallel as _wop,
         )
 
+        # flags the incremental path cannot honor must FAIL, not be
+        # silently dropped (checkpointing/baseline-saving belong to
+        # the full-run path; incremental has its own state discipline)
+        if args.checkpoint or args.save_drift_baseline:
+            raise SystemExit(
+                "--incremental-state is incompatible with --checkpoint "
+                "and --save-drift-baseline; incremental runs persist "
+                "their own state and a baseline should be saved from a "
+                "full run"
+            )
+        # --drift-baseline IS supported: the increment sketches its
+        # delta signals and the merged corpus digest is compared
+        signals_fn = None
+        if args.drift_baseline and "spans" in docs.columns:
+            from pyspark.sql import types as _T2
+
+            from automatic_data_validator_spark.drift import (
+                document_signals,
+            )
+
+            numeric_cols = [
+                f.name for f in docs.schema.fields
+                if isinstance(f.dataType, _T2.NumericType)
+            ]
+            if not numeric_cols:
+                signals_fn = document_signals
         ires = validate_incremental(
             spark, args.documents, args.incremental_state,
             catalog=catalog, with_profile=not args.no_profile,
             rule_version=args.rule_version,
+            drift_baseline=args.drift_baseline,
+            drift_signals=signals_fn,
         )
         from automatic_data_validator_spark.state import (
             run_summary as _run_summary,

@@ -382,3 +382,87 @@ def test_incremental_job_flag(spark, tmp_path):
     # run-summary parity with the full-run job path
     summ = spark.read.parquet(f"{base}/out/run_summary")
     assert summ.filter("phase = '__run__'").count() == 1
+
+
+def test_crashed_increment_rerun_is_idempotent(spark, tmp_path):
+    """A crashed attempt writes its stores but not the manifest; the
+    re-run must NOT read the orphaned key_index partition back as
+    'old' data (it would report every delta key as a duplicate of
+    itself — round-5 review finding)."""
+    from automatic_data_validator_spark.incremental import _write_inc
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    validate_incremental(spark, corpus, state, rule_set=[], with_profile=False)
+
+    # simulate the crashed attempt at increment 1: its delta keys are
+    # already in the key_index store, manifest still says increment 0
+    delta = spark.createDataFrame(
+        [("c", 3), ("d", 4)], "doc_id string, value int"
+    )
+    delta.coalesce(1).write.mode("append").parquet(corpus)
+    orphan = delta.selectExpr(
+        "doc_id", "0 AS partition_id", "CAST(1 AS long) AS cnt"
+    )
+    _write_inc(orphan, os.path.join(state, "key_index"), 1)
+
+    r = validate_incremental(spark, corpus, state, rule_set=[], with_profile=False)
+    assert r.increment == 1
+    # c and d are unique in the corpus: the orphaned rows must not
+    # have counted against them
+    assert _viol_multiset(r.violations) == []
+    assert r.passed()
+
+
+def test_profile_mode_must_stay_consistent(spark, tmp_path):
+    """An increment that skips the profile would silently vanish from
+    every future merged metric — participation is pinned like
+    rule_version (round-5 review finding)."""
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", 1)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    validate_incremental(spark, corpus, state, rule_set=[], with_profile=True)
+    spark.createDataFrame(
+        [("b", 2)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    with pytest.raises(ValueError, match="participation changed"):
+        validate_incremental(
+            spark, corpus, state, rule_set=[], with_profile=False
+        )
+
+
+def test_read_store_propagates_corrupt_parquet(spark, tmp_path):
+    """An unreadable store must raise, not masquerade as 'never
+    written' (which would silently skip cross-increment checks —
+    round-5 review finding)."""
+    from automatic_data_validator_spark.incremental import _read_store
+    from automatic_data_validator_spark.rules import VIOLATION_SCHEMA
+
+    bad = tmp_path / "store" / "increment=0"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        df = _read_store(spark, str(tmp_path / "store"), VIOLATION_SCHEMA)
+        df.collect()  # Spark may defer footer read to the action
+
+
+def test_drift_columns_naming_missing_column_fails(spark, docs):
+    """Explicit drift_columns pointing at a nonexistent column must
+    raise, not silently emit zero drift verdicts (round-5 review
+    finding: the guard previously covered only the default path)."""
+    import numpy as np
+
+    from automatic_data_validator_spark.drift import TDigest, document_signals
+
+    baseline = {"n_spans": TDigest.from_values(np.arange(100.0))}
+    with pytest.raises(ValueError, match="misconfigured"):
+        run_validation(
+            spark, docs, rule_set=[], check_uniqueness=False,
+            with_profile=False, drift_baseline=baseline,
+            drift_signals=document_signals, drift_columns=["n_spanz"],
+        )
