@@ -1341,7 +1341,6 @@ def incremental_neardup(
             # — counting them would double the delta's bucket sizes,
             # falsely tripping the cap and permanently losing pairs
             counts_hist = counts_hist.filter(F.col("increment") < inc)
-        if counts_hist is not None:
             old_counts = counts_hist.groupBy("band", "bucket").agg(
                 F.sum("n").alias("n_old")
             )
@@ -1376,7 +1375,6 @@ def incremental_neardup(
             # COMMITTED increments (else delta docs would pair with
             # their own orphaned signatures as "old" docs)
             old_banded = old_banded.filter(F.col("increment") < inc)
-        if old_banded is not None:
             cross = (
                 banded_ok.join(
                     old_banded.select(

@@ -124,6 +124,15 @@ class IncrementalResult:
 
 
 def _write_inc(df: DataFrame, path: str, inc: int) -> None:
+    # explicitly clear this increment's partition first: dynamic
+    # overwrite of an EMPTY frame writes no partitions, so a crashed
+    # attempt's orphaned rows would otherwise survive a re-run whose
+    # frame is legitimately empty (round-5 review finding)
+    part_dir = os.path.join(path, f"increment={inc}")
+    if os.path.isdir(part_dir):
+        import shutil
+
+        shutil.rmtree(part_dir)
     (
         df.withColumn("increment", F.lit(inc))
         .write.mode("overwrite")
@@ -148,11 +157,19 @@ def _read_store(
     (e.g. an unreadable key index would pass every cross-increment
     duplicate) and produce false-pass results."""
     if os.path.isdir(path):
-        has_files = any(
-            f.endswith(".parquet")
-            for _root, _dirs, files in os.walk(path)
-            for f in files
-        )
+        # mirror Spark's hidden-path filter: _temporary/ leftovers and
+        # dot/underscore-prefixed files are NOT data — counting them
+        # would make a crashed store write raise UNABLE_TO_INFER_SCHEMA
+        # forever instead of recovering (round-5 review finding)
+        has_files = False
+        for _root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in files
+            ):
+                has_files = True
+                break
         if has_files:
             return spark.read.parquet(path)
     if schema is None:
@@ -656,7 +673,6 @@ def _incremental_uniqueness(
         # committed last) — reading it back would count every delta
         # key against itself and report the whole delta as duplicates
         idx = idx.filter(F.col("increment") < inc)
-    if idx is not None:
         hits = idx.join(delta_tot.select("doc_id"), "doc_id").persist()
         old_tot = hits.groupBy("doc_id").agg(F.sum("cnt").alias("old_cnt"))
     else:

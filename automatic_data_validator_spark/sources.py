@@ -346,11 +346,17 @@ def write_iceberg_bucketed(
         # support" / transform errors); anything else — table already
         # exists, missing column, permissions — propagates unchanged
         # so the operator debugs the real problem, not cluster config
-        msg = str(e)
+        # case-insensitive, narrow tokens: Spark 4 raises
+        # UNSUPPORTED_FEATURE / "does not support ..."; Spark 3.x's
+        # session catalog says "transforms cannot be converted to
+        # partition columns". A bare "transform" token would
+        # false-match user errors mentioning a column named
+        # transform_ts (round-5 review finding).
+        msg = str(e).lower()
         capability = any(
             s in msg
-            for s in ("UNSUPPORTED_FEATURE", "does not support",
-                      "TRANSFORM", "transform")
+            for s in ("unsupported_feature", "does not support",
+                      "cannot be converted to partition columns")
         )
         if not capability:
             raise

@@ -44,6 +44,26 @@ sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
+def _pick_signals_fn(docs):
+    """One encoding of the drift-target rule for BOTH run modes: sketch
+    plain numeric columns when the table has them, else derive the
+    interleaved shape's per-doc signals (the flagship documents table
+    has NO numeric columns — a silent no-op would make the drift flags
+    dead letters). Returns (numeric_columns, signals_fn_or_None)."""
+    from pyspark.sql import types as _T
+
+    from automatic_data_validator_spark.drift import document_signals
+
+    numeric = [
+        f.name for f in docs.schema.fields
+        if isinstance(f.dataType, _T.NumericType)
+    ]
+    signals_fn = None
+    if not numeric and "spans" in docs.columns:
+        signals_fn = document_signals
+    return numeric, signals_fn
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--documents", required=True, help="Iceberg name or parquet path")
@@ -66,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
                          "appended since the last run with this state "
                          "dir and merge (incremental.validate_"
                          "incremental); --documents must be a parquet "
-                         "path; drift/checkpoint flags don't apply")
+                         "path; --drift-baseline is supported (delta "
+                         "sketches merge into the corpus digest); "
+                         "--checkpoint/--save-drift-baseline are "
+                         "rejected")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -120,20 +143,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         # --drift-baseline IS supported: the increment sketches its
         # delta signals and the merged corpus digest is compared
-        signals_fn = None
-        if args.drift_baseline and "spans" in docs.columns:
-            from pyspark.sql import types as _T2
-
-            from automatic_data_validator_spark.drift import (
-                document_signals,
-            )
-
-            numeric_cols = [
-                f.name for f in docs.schema.fields
-                if isinstance(f.dataType, _T2.NumericType)
-            ]
-            if not numeric_cols:
-                signals_fn = document_signals
+        _numeric, signals_fn = (
+            _pick_signals_fn(docs) if args.drift_baseline else ([], None)
+        )
         ires = validate_incremental(
             spark, args.documents, args.incremental_state,
             catalog=catalog, with_profile=not args.no_profile,
@@ -170,26 +182,12 @@ def main(argv: list[str] | None = None) -> int:
         from automatic_data_validator_spark.state import iceberg_snapshot_id
 
         snapshot_id = iceberg_snapshot_id(spark, args.documents) or "auto"
-    # drift target: plain numeric columns when the table has them,
-    # else the derived per-doc signals of the interleaved shape
-    # (n_spans / text_chars / n_media_refs) — the flagship documents
-    # table has NO numeric columns, so a silent no-op here would make
-    # both drift flags dead letters
-    from pyspark.sql import types as _T
-
     from automatic_data_validator_spark.drift import (
-        document_signals,
         save_baseline,
         sketch_columns,
     )
 
-    numeric = [
-        f.name for f in docs.schema.fields
-        if isinstance(f.dataType, _T.NumericType)
-    ]
-    signals_fn = None
-    if not numeric and "spans" in docs.columns:
-        signals_fn = document_signals
+    numeric, signals_fn = _pick_signals_fn(docs)
 
     res = run_validation(
         spark,

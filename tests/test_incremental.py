@@ -446,9 +446,18 @@ def test_read_store_propagates_corrupt_parquet(spark, tmp_path):
     bad = tmp_path / "store" / "increment=0"
     bad.mkdir(parents=True)
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
         df = _read_store(spark, str(tmp_path / "store"), VIOLATION_SCHEMA)
         df.collect()  # Spark may defer footer read to the action
+
+    # hidden/staging leftovers are NOT data: a crashed write's
+    # _temporary files must fall back to the empty frame, not raise
+    # UNABLE_TO_INFER_SCHEMA forever (round-5 review finding)
+    tmp_store = tmp_path / "store2" / "_temporary" / "0"
+    tmp_store.mkdir(parents=True)
+    (tmp_store / "part-00000.parquet").write_bytes(b"garbage")
+    df2 = _read_store(spark, str(tmp_path / "store2"), VIOLATION_SCHEMA)
+    assert df2.count() == 0
 
 
 def test_drift_columns_naming_missing_column_fails(spark, docs):
