@@ -497,6 +497,33 @@ def validate_incremental(
     )
 
 
+def history_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Validation-over-time: one row per (increment, rule_id) from the
+    persisted stores — rows checked, violations, pass — plus each
+    increment's ``__all__`` rollup. The view an operator of a
+    continuously-appended corpus actually watches (is violation rate
+    creeping? did increment 17 introduce the dup storm?), computed
+    from the tiny verdict store only; no corpus data is touched.
+
+    Columns: increment, rule_id, row_count, violation_count, pass.
+    """
+    verdicts = _read_store(spark, os.path.join(state_dir, "verdicts"))
+    if verdicts is None:
+        raise ValueError(f"no incremental state at {state_dir}")
+    per = verdicts.groupBy("increment", "rule_id").agg(
+        F.sum("row_count").alias("row_count"),
+        F.sum("violation_count").alias("violation_count"),
+        (F.sum((~F.col("pass")).cast("long")) == 0).alias("pass"),
+    )
+    rollup = verdicts.groupBy("increment").agg(
+        F.lit("__all__").alias("rule_id"),
+        F.sum("row_count").alias("row_count"),
+        F.sum("violation_count").alias("violation_count"),
+        (F.sum((~F.col("pass")).cast("long")) == 0).alias("pass"),
+    ).select("increment", "rule_id", "row_count", "violation_count", "pass")
+    return per.unionByName(rollup).orderBy("increment", "rule_id")
+
+
 def rebase_after_compaction(
     spark: SparkSession,
     documents_path: str,

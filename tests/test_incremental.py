@@ -384,6 +384,35 @@ def test_incremental_job_flag(spark, tmp_path):
     assert summ.filter("phase = '__run__'").count() == 1
 
 
+def test_history_report(spark, tmp_path):
+    """Per-increment trend view from the verdict store: rows checked
+    and violations per (increment, rule) plus an __all__ rollup — no
+    corpus data touched."""
+    from automatic_data_validator_spark.incremental import history_report
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    validate_incremental(spark, corpus, state, rule_set=[], with_profile=False)
+    spark.createDataFrame(
+        [("b", 3), ("c", 4)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    validate_incremental(spark, corpus, state, rule_set=[], with_profile=False)
+
+    hist = history_report(spark, state).collect()
+    by_key = {(r["increment"], r["rule_id"]): r for r in hist}
+    assert by_key[(0, "unique_doc_id")]["violation_count"] == 0
+    assert by_key[(0, "unique_doc_id")]["pass"] is True
+    # increment 1 duplicates 'b': one new + one promoted occurrence
+    assert by_key[(1, "unique_doc_id")]["violation_count"] == 2
+    assert by_key[(1, "unique_doc_id")]["pass"] is False
+    assert by_key[(1, "__all__")]["violation_count"] == 2
+    with pytest.raises(ValueError, match="no incremental state"):
+        history_report(spark, str(tmp_path / "nope"))
+
+
 def test_crashed_increment_rerun_is_idempotent(spark, tmp_path):
     """A crashed attempt writes its stores but not the manifest; the
     re-run must NOT read the orphaned key_index partition back as
