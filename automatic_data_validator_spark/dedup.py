@@ -1307,10 +1307,27 @@ def incremental_neardup(
     delta_files = [f for f in all_files if f not in known]
     inc = int(manifest["increment"]) + 1
     pairs_path = _os.path.join(state_dir, "pairs")
+    def _empty_pairs() -> DataFrame:
+        # typed from the corpus: id_a/id_b inherit id_col's actual type
+        # (int, string, ...) — a fixed schema string could not. Covers
+        # the legitimate "increments ran, zero pairs verified" state,
+        # where the purge-on-empty write leaves a file-less store.
+        return (
+            corpus.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("jaccard"),
+            )
+            .limit(0)
+            .withColumn("increment", F.lit(0))
+        )
+
     if not delta_files:
+        if int(manifest["increment"]) < 0:
+            raise ValueError(f"no input files and no prior state at {state_dir}")
         pairs = _read_store(spark, pairs_path)
         if pairs is None:
-            raise ValueError(f"no input files and no prior state at {state_dir}")
+            pairs = _empty_pairs()
         _, drop_list = dedup_keep_representatives(
             corpus.limit(0), pairs.select("id_a", "id_b"), id_col
         )
@@ -1422,6 +1439,8 @@ def incremental_neardup(
         banded_delta.unpersist()
 
     pairs = _read_store(spark, pairs_path)
+    if pairs is None:
+        pairs = _empty_pairs()
     _, drop_list = dedup_keep_representatives(
         corpus.limit(0), pairs.select("id_a", "id_b"), id_col
     )

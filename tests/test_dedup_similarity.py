@@ -782,3 +782,47 @@ def test_incremental_neardup_equals_oneshot(spark, tmp_path):
             spark, corpus, state, "doc_id", "text",
             jaccard_threshold=0.5, num_hashes=32, bands=32,
         )
+
+
+def test_incremental_neardup_random_batches(spark, tmp_path):
+    """Seeded random batch splits of a near-dup corpus: the merged
+    incremental pair set must equal the one-shot run regardless of how
+    the docs were partitioned into increments."""
+    import random
+
+    rng = random.Random(99)
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+    ]
+    docs = [(i, bodies[i % 2] + f" x{i // 2 % 5}") for i in range(24)] + [
+        (i, f"unrelated {i} {i * 7} {i * 13}") for i in range(24, 40)
+    ]
+    for trial in range(2):
+        rng.shuffle(docs)
+        cuts = sorted(rng.sample(range(1, len(docs)), 2))
+        batches = [docs[:cuts[0]], docs[cuts[0]:cuts[1]], docs[cuts[1]:]]
+        corpus = str(tmp_path / f"docs{trial}")
+        state = str(tmp_path / f"state{trial}")
+        last = None
+        for b in batches:
+            spark.createDataFrame(
+                pd.DataFrame(b, columns=["doc_id", "text"])
+            ).coalesce(1).write.mode("append").parquet(corpus)
+            last = D.incremental_neardup(
+                spark, corpus, state, "doc_id", "text",
+                jaccard_threshold=0.5,
+            )
+        _k, _d, full_pairs, _o = D.neardup_dedup(
+            spark.read.parquet(corpus), "doc_id", "text",
+            jaccard_threshold=0.5,
+        )
+        inc_set = sorted(
+            (r["id_a"], r["id_b"])
+            for r in last.pairs.select("id_a", "id_b").collect()
+        )
+        full_set = sorted(
+            (r["id_a"], r["id_b"])
+            for r in full_pairs.select("id_a", "id_b").collect()
+        )
+        assert inc_set == full_set, (trial, cuts)
