@@ -498,3 +498,48 @@ def canonical_violations(violations: DataFrame) -> DataFrame:
     """Canonical ordering for byte-match golden tests (SURVEY.md §5.2):
     sorted by (doc_id, rule_id, detail)."""
     return violations.orderBy("doc_id", "rule_id", "detail")
+
+
+def split_valid_invalid(
+    documents: DataFrame,
+    violations: DataFrame,
+    key_column: str = "doc_id",
+    broadcast_limit: "int | None" = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: partition the corpus into (valid, invalid)
+    full-row frames from a run's violation keys — the dead-letter
+    pattern every production pipeline ends with (reference analog: the
+    corrector DROPS offending rows, data_corrector.py:546-552; at
+    10^12 docs you quarantine them for reprocessing instead).
+
+    ``invalid`` carries the original columns plus ``failed_rules``
+    (sorted distinct rule ids per doc); ``valid`` is the anti-join.
+    The corpus is touched by exactly two key-joins against the
+    (small) violating-key set — count-gated broadcast like every
+    other verify join, so at scale neither join shuffles the corpus.
+    Table-level verdicts keyed by a column name rather than a doc id
+    (the drift phase's partition_id = -1 rows) are excluded by
+    joining on the corpus's OWN keys only — a drift violation row
+    must not quarantine a document that happens to share the column's
+    name."""
+    from . import config
+
+    bad = (
+        violations.filter(F.col("partition_id") >= 0)
+        .groupBy(F.col("doc_id").alias("_k"))
+        .agg(F.sort_array(F.collect_set("rule_id")).alias("failed_rules"))
+    )
+    limit = (
+        broadcast_limit
+        if broadcast_limit is not None
+        else config.BROADCAST_ROW_LIMIT
+    )
+    n_bad = bad.count()
+    if n_bad <= limit:
+        bad = F.broadcast(bad)
+    key = F.col(key_column).cast("string")
+    invalid = documents.join(bad, key == F.col("_k")).drop("_k")
+    valid = documents.join(
+        bad.select("_k"), key == F.col("_k"), "left_anti"
+    )
+    return valid, invalid

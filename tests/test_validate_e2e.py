@@ -371,3 +371,42 @@ def test_drift_phase_disjoint_baseline_fails_loudly(spark, docs):
             with_profile=False, drift_baseline=bogus,
         )
     assert "do not intersect" in str(ei.value)
+
+
+def test_split_valid_invalid_quarantine(spark, docs, catalog):
+    """Dead-letter split: every doc with a row-addressable violation
+    lands in `invalid` with its failed rule ids; `valid` is the clean
+    remainder; table-level (partition_id -1) rows never quarantine."""
+    from automatic_data_validator_spark.validate import split_valid_invalid
+
+    res = run_validation(spark, docs, catalog=catalog, with_profile=False)
+    valid, invalid = split_valid_invalid(docs, res.violations)
+    n = docs.count()
+    assert valid.count() + invalid.count() == n
+
+    bad_keys = {
+        r["doc_id"]
+        for r in res.violations.filter("partition_id >= 0")
+        .select("doc_id").distinct().collect()
+    }
+    assert {
+        r["doc_id"] for r in invalid.select("doc_id").distinct().collect()
+    } == bad_keys
+    # failed_rules is per-doc, sorted, and consistent with the rows
+    span_docs = {
+        r["doc_id"]
+        for r in res.violations.filter("rule_id = 'span_order'")
+        .select("doc_id").collect()
+    }
+    tagged = {
+        r["doc_id"]
+        for r in invalid.filter(
+            F.array_contains("failed_rules", "span_order")
+        ).select("doc_id").collect()
+    }
+    assert span_docs == tagged and span_docs
+    # valid docs carry no violations at all
+    assert valid.join(
+        res.violations.filter("partition_id >= 0").select("doc_id").distinct(),
+        "doc_id",
+    ).count() == 0
