@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
                          "and save them as the NEXT run's baseline")
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_DOCS",
                     help="generate a synthetic input first (local smoke only)")
+    ap.add_argument("--quarantine", default=None, metavar="DIR",
+                    help="also write {DIR}/clean and {DIR}/quarantined "
+                         "(full violating rows + failed_rules) — the "
+                         "dead-letter split")
     ap.add_argument("--incremental-state", default=None, metavar="DIR",
                     help="snapshot-delta mode: validate only files "
                          "appended since the last run with this state "
@@ -229,6 +233,16 @@ def main(argv: list[str] | None = None) -> int:
     from automatic_data_validator_spark.state import run_summary
 
     summary = run_summary(res.lineage, res.verdicts)
+    if args.quarantine:
+        from automatic_data_validator_spark.validate import (
+            split_valid_invalid,
+        )
+
+        clean, quarantined = split_valid_invalid(docs, res.violations)
+        write_outputs_parallel(
+            {"clean": clean, "quarantined": quarantined}, args.quarantine
+        )
+        print(f"quarantine written: {args.quarantine}")
     outputs = {"verdicts": res.verdicts, "violations": res.violations,
                "lineage": res.lineage, "run_summary": summary}
     if res.metrics is not None:

@@ -143,10 +143,16 @@ def test_spark_submit_job_entrypoint(spark, tmp_path):
     rc = validate_job.main([
         "--documents", f"{base}/docs", "--catalog", f"{base}/cat",
         "--output", f"{base}/out", "--synthesize", "5000",
+        "--quarantine", f"{base}/q",
     ])
     assert rc == 1  # violations injected by synth => FAILED is correct
     for name in ("verdicts", "violations", "metrics", "lineage"):
         assert spark.read.parquet(f"{base}/out/{name}").count() > 0
+    # dead-letter split: clean + quarantined partition the corpus
+    n_clean = spark.read.parquet(f"{base}/q/clean").count()
+    quar = spark.read.parquet(f"{base}/q/quarantined")
+    assert n_clean + quar.count() == 5000
+    assert quar.filter("size(failed_rules) = 0").count() == 0
 
 
 def test_referential_rule_honored_and_loud_without_catalog(spark, docs, catalog):
