@@ -134,10 +134,24 @@ def read_excel(spark: SparkSession, path: str, sheets: list[str] | None = None) 
         raise RuntimeError("pandas required for Excel ingestion") from e
     try:
         book = pd.read_excel(path, sheet_name=sheets)  # needs openpyxl
-    except ImportError as e:
-        raise RuntimeError(
-            "Excel ingestion requires openpyxl; install it or convert to CSV"
-        ) from e
+    except ImportError:
+        # no openpyxl (this sandbox): the from-scratch stdlib
+        # SpreadsheetML reader (xlsx.py) covers the same surface —
+        # first row = header, one frame per sheet
+        from .xlsx import read_xlsx
+
+        raw = read_xlsx(path)
+        if sheets is not None:
+            raw = {n: raw[n] for n in sheets}
+        book = {}
+        for name, rows in raw.items():
+            if not rows:
+                continue
+            header = [
+                str(h) if h is not None else f"col{i}"
+                for i, h in enumerate(rows[0])
+            ]
+            book[name] = pd.DataFrame(rows[1:], columns=header)
     if isinstance(book, dict):
         parts = []
         for name, pdf in book.items():
@@ -156,31 +170,39 @@ def write_excel_report(frames: "dict[str, DataFrame]", path: str,
     one sheet per named frame. Driver-side by design — report frames
     (verdicts, metrics, summaries) are small aggregates; anything big
     belongs in the parquet sinks, so rows are hard-capped per sheet.
-    Gated on openpyxl like read_excel."""
+    openpyxl when available, else the from-scratch stdlib
+    SpreadsheetML writer (xlsx.py)."""
     try:
-        import pandas as pd  # noqa: F401
-
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "Excel report sink requires openpyxl; use write_output "
-            "(parquet/csv/json) instead"
-        ) from e
+
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
     import pandas as pd
 
     seen: dict[str, int] = {}
-    with pd.ExcelWriter(path, engine="openpyxl") as xw:
-        for name, df in frames.items():
-            sheet = name[:31]
-            # Excel's 31-char limit can collide distinct frame names;
-            # suffix deterministically instead of letting openpyxl rename
-            if sheet in seen:
-                seen[sheet] += 1
-                sheet = f"{sheet[:28]}~{seen[sheet]:02d}"
-            else:
-                seen[sheet] = 0
-            pdf = df.limit(max_rows_per_sheet).toPandas()
-            pdf.to_excel(xw, sheet_name=sheet, index=False)
+    sheets: dict[str, tuple] = {}
+    for name, df in frames.items():
+        sheet = name[:31]
+        # Excel's 31-char limit can collide distinct frame names;
+        # suffix deterministically instead of letting a writer rename
+        if sheet in seen:
+            seen[sheet] += 1
+            sheet = f"{sheet[:28]}~{seen[sheet]:02d}"
+        else:
+            seen[sheet] = 0
+        pdf = df.limit(max_rows_per_sheet).toPandas()
+        sheets[sheet] = (list(pdf.columns), pdf.values.tolist())
+    if have_openpyxl:
+        with pd.ExcelWriter(path, engine="openpyxl") as xw:
+            for sheet, (cols, rows) in sheets.items():
+                pd.DataFrame(rows, columns=cols).to_excel(
+                    xw, sheet_name=sheet, index=False
+                )
+    else:
+        from .xlsx import write_xlsx
+
+        write_xlsx(path, sheets)
 
 
 def is_path_like(name_or_path: str) -> bool:

@@ -66,22 +66,63 @@ def test_file_stats(spark, docs):
     assert st["column_kinds"]["nested"] == 1  # spans
 
 
-def test_excel_report_sink_gated(spark, tmp_path):
-    """openpyxl is absent in this env: the sink must fail with a clear
-    actionable error (and succeed if openpyxl ever appears)."""
-    import pytest as _pytest
+def test_excel_roundtrip_without_openpyxl(spark, tmp_path):
+    """S2/S8 full parity with NO openpyxl: the multi-sheet report sink
+    writes via the from-scratch stdlib SpreadsheetML writer, and
+    read_excel reads it back through the matching reader — values,
+    types (str/int/float/bool/None), sheet names, and the
+    _source_sheet provenance column all survive the round trip."""
+    from automatic_data_validator_spark.sources import (
+        read_excel,
+        write_excel_report,
+    )
 
-    from automatic_data_validator_spark.sources import write_excel_report
+    verdicts = spark.createDataFrame(
+        [(1, "a&b <ok>", 1.5, True), (2, None, -0.25, False)],
+        "x int, y string, z double, ok boolean",
+    )
+    summary = spark.createDataFrame(
+        [("rows", 5000)], "metric string, value int"
+    )
+    path = str(tmp_path / "report.xlsx")
+    write_excel_report({"verdicts": verdicts, "summary": summary}, path)
 
-    df = spark.createDataFrame([(1, "a")], "x int, y string")
-    try:
-        import openpyxl  # noqa: F401
+    back = read_excel(spark, path)
+    assert set(
+        r["_source_sheet"] for r in back.select("_source_sheet").collect()
+    ) == {"verdicts", "summary"}
+    got = {
+        (r["x"], r["y"], r["z"], r["ok"])
+        for r in back.filter("_source_sheet = 'verdicts'")
+        .select("x", "y", "z", "ok").collect()
+    }
+    assert got == {(1, "a&b <ok>", 1.5, True), (2, None, -0.25, False)}
+    srow = back.filter("_source_sheet = 'summary'").collect()[0]
+    assert srow["metric"] == "rows" and srow["value"] == 5000
 
-        write_excel_report({"verdicts": df}, str(tmp_path / "r.xlsx"))
-        assert (tmp_path / "r.xlsx").exists()
-    except ImportError:
-        with _pytest.raises(RuntimeError, match="openpyxl"):
-            write_excel_report({"verdicts": df}, str(tmp_path / "r.xlsx"))
+    # raw cell layer: header row + typed values per the minimal reader
+    from automatic_data_validator_spark.xlsx import read_xlsx
+
+    raw = read_xlsx(path)
+    assert raw["verdicts"][0] == ["x", "y", "z", "ok"]
+    assert raw["verdicts"][1] == [1, "a&b <ok>", 1.5, True]
+
+
+def test_excel_sheet_name_collision_suffix(spark, tmp_path):
+    """Two frames whose names collide at Excel's 31-char limit get a
+    deterministic suffix instead of a writer-chosen rename."""
+    from automatic_data_validator_spark.sources import read_excel, write_excel_report
+
+    long_a = "a" * 35
+    long_b = "a" * 31 + "XYZ"
+    df = spark.createDataFrame([(1,)], "v int")
+    path = str(tmp_path / "collide.xlsx")
+    write_excel_report({long_a: df, long_b: df}, path)
+    sheets = {
+        r["_source_sheet"]
+        for r in read_excel(spark, path).select("_source_sheet").collect()
+    }
+    assert len(sheets) == 2 and any("~01" in s for s in sheets)
 
 
 def test_csv_encoding_fallback_reads_latin1(spark, tmp_path):
