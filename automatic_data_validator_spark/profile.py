@@ -700,6 +700,100 @@ def normality_jarque_bera(p: ProfileResult, column: str) -> dict[str, Any]:
     }
 
 
+def shapiro_wilk(values) -> "dict[str, Any]":
+    """From-scratch Shapiro-Wilk W test (Royston's published AS R94
+    algorithm, Applied Statistics 44(4), 1995 — the same algorithm
+    scipy.stats.shapiro implements), for exact reference parity with
+    data_analyzer.py:378-388. Stdlib + numpy only: normal quantiles
+    via statistics.NormalDist. Valid for 4 <= n <= 5000 (the reference
+    samples to 5000 anyway); ties are fine, constant input returns
+    is_normal=None.
+
+    Steps: Blom scores m_i = ppf((i - 3/8)/(n + 1/4)); end-weights
+    a_n, a_{n-1} from Royston's u=1/sqrt(n) polynomials; middle
+    weights m/sqrt(phi); W = (a.x_sorted)^2 / SS; p-value from the
+    normalizing transforms of ln(1-W) (n>=12) or -ln(g - ln(1-W))
+    (4<=n<=11)."""
+    import numpy as np
+    from statistics import NormalDist
+
+    x = np.sort(np.asarray(values, dtype="float64"))
+    x = x[~np.isnan(x)]
+    n = len(x)
+    if n < 4 or n > 5000:
+        return {"W": None, "p_value": None, "n": n, "is_normal": None,
+                "method": "shapiro_wilk (royston AS R94)"}
+    ss = float(np.sum((x - x.mean()) ** 2))
+    if ss <= 0.0:
+        return {"W": None, "p_value": None, "n": n, "is_normal": None,
+                "method": "shapiro_wilk (royston AS R94)"}
+    nd = NormalDist()
+    m = np.array([
+        nd.inv_cdf((i - 0.375) / (n + 0.25)) for i in range(1, n + 1)
+    ])
+    mm = float(m @ m)
+    c = m / math.sqrt(mm)
+    u = 1.0 / math.sqrt(n)
+    a = np.empty(n)
+    an = (-2.706056 * u**5 + 4.434685 * u**4 - 2.071190 * u**3
+          - 0.147981 * u**2 + 0.221157 * u + c[-1])
+    if n > 5:
+        an1 = (-3.582633 * u**5 + 5.682633 * u**4 - 1.752461 * u**3
+               - 0.293762 * u**2 + 0.042981 * u + c[-2])
+        phi = (mm - 2 * m[-1]**2 - 2 * m[-2]**2) / (
+            1 - 2 * an**2 - 2 * an1**2
+        )
+        a[2:-2] = m[2:-2] / math.sqrt(phi)
+        a[-2], a[1] = an1, -an1
+    else:
+        phi = (mm - 2 * m[-1]**2) / (1 - 2 * an**2)
+        a[1:-1] = m[1:-1] / math.sqrt(phi)
+    a[-1], a[0] = an, -an
+    w = float((a @ x) ** 2 / ss)
+    w = min(w, 1.0)
+    ln_n = math.log(n)
+    if n >= 12:
+        mu = (0.0038915 * ln_n**3 - 0.083751 * ln_n**2
+              - 0.31082 * ln_n - 1.5861)
+        sigma = math.exp(0.0030302 * ln_n**2 - 0.082676 * ln_n - 0.4803)
+        z = (math.log(max(1e-12, 1.0 - w)) - mu) / sigma
+    else:
+        g = -2.273 + 0.459 * n
+        mu = (0.5440 - 0.39978 * n + 0.025054 * n**2
+              - 0.0006714 * n**3)
+        sigma = math.exp(1.3822 - 0.77857 * n + 0.062767 * n**2
+                         - 0.0020322 * n**3)
+        z = (-math.log(max(1e-12, g - math.log(max(1e-12, 1.0 - w))))
+             - mu) / sigma
+    p_value = 1.0 - nd.cdf(z)
+    return {
+        "W": w, "p_value": p_value, "n": n,
+        "is_normal": p_value > 0.05,
+        "method": "shapiro_wilk (royston AS R94)",
+    }
+
+
+def shapiro_wilk_column(
+    df: DataFrame, column: str, max_n: int = 5000, seed: int = 42
+) -> "dict[str, Any]":
+    """Reference-parity normality test on a column: deterministic
+    sample of <= max_n non-null values (data_analyzer.py:385 samples
+    to 5000) fed to the from-scratch Shapiro-Wilk. One column-pruned
+    pass; the full-data alternative is normality_jarque_bera (exact
+    moments, no sampling)."""
+    vals = [
+        r[0]
+        for r in df.select(F.col(column).cast("double"))
+        .dropna()
+        .orderBy(F.xxhash64(F.col(column), F.lit(seed)))
+        .limit(max_n)
+        .collect()
+    ]
+    out = shapiro_wilk(vals)
+    out["column"] = column
+    return out
+
+
 def categorical_inconsistency(
     df: DataFrame, column: str, max_groups: int = 1000
 ) -> DataFrame:

@@ -94,3 +94,55 @@ def test_topk_values_quoted_column_names(spark):
     df = spark.createDataFrame(pd.DataFrame({"it's a col": ["x", "x", "y"]}))
     top = topk_values(df, ["it's a col"], k=1).collect()
     assert top[0]["col_name"] == "it's a col" and top[0]["value"] == "x"
+
+
+def test_shapiro_wilk_from_scratch():
+    """From-scratch Royston AS R94 Shapiro-Wilk (A15 partial->full):
+    calibration on normal data, power on exponential, the small-n
+    branch, and the original Shapiro & Wilk (1965) worked example
+    (11 men's weights, published W = 0.79, non-normal)."""
+    import numpy as np
+
+    from automatic_data_validator_spark.profile import shapiro_wilk
+
+    rng = np.random.RandomState(0)
+    ps = [shapiro_wilk(rng.normal(0, 1, 100))["p_value"] for _ in range(200)]
+    rej = sum(p < 0.05 for p in ps) / 200
+    assert 0.005 <= rej <= 0.12, rej  # ~5% nominal size
+    assert shapiro_wilk(rng.normal(0, 1, 1000))["W"] > 0.99
+
+    ps2 = [shapiro_wilk(rng.exponential(1.0, 100))["p_value"] for _ in range(50)]
+    assert all(p < 0.01 for p in ps2)
+
+    small = shapiro_wilk([1.0, 2.0, 3.0, 4.5, 5.0, 7.0, 8.0])  # n=7 branch
+    assert small["W"] is not None and 0.0 <= small["p_value"] <= 1.0
+
+    weights = [148, 154, 158, 160, 161, 162, 166, 170, 182, 195, 236]
+    r = shapiro_wilk(weights)
+    assert abs(r["W"] - 0.79) < 0.02, r["W"]
+    assert r["p_value"] < 0.05 and r["is_normal"] is False
+
+    assert shapiro_wilk([3.0] * 25)["is_normal"] is None  # constant
+    assert shapiro_wilk([1.0, 2.0])["W"] is None  # n < 4
+
+
+def test_shapiro_wilk_column_reference_parity(spark):
+    """Column wrapper: deterministic <=5000-value sample, agrees with
+    Jarque-Bera's verdict on clearly-normal vs clearly-skewed data."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_data_validator_spark.profile import shapiro_wilk_column
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(pd.DataFrame({
+        "gauss": rng.normal(50.0, 3.0, 8000),
+        "expo": rng.exponential(2.0, 8000),
+    }))
+    g = shapiro_wilk_column(df, "gauss")
+    e = shapiro_wilk_column(df, "expo")
+    assert g["n"] == 5000 and e["n"] == 5000  # sampled to the cap
+    assert g["is_normal"] is True, g
+    assert e["is_normal"] is False and e["p_value"] < 0.001, e
+    # deterministic: same seed -> identical result
+    assert shapiro_wilk_column(df, "gauss") == g
