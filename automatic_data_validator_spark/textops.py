@@ -433,10 +433,48 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# Irregular noun forms (standard English morphology, public
+# linguistic knowledge) — the reference's WordNetLemmatizer defaults
+# to pos='n', so NOUN lemmatization is the behavior to match: it does
+# NOT touch verb inflections ('running' stays 'running' at pos='n'),
+# and neither does this table+rules combination.
+_IRREGULAR_NOUNS = {
+    "children": "child", "men": "man", "women": "woman",
+    "people": "person", "feet": "foot", "teeth": "tooth",
+    "geese": "goose", "mice": "mouse", "lice": "louse", "oxen": "ox",
+    "dice": "die", "indices": "index", "matrices": "matrix",
+    "vertices": "vertex", "appendices": "appendix",
+    "criteria": "criterion", "phenomena": "phenomenon",
+    "data": "datum", "media": "medium", "analyses": "analysis",
+    "bases": "basis", "crises": "crisis", "theses": "thesis",
+    "hypotheses": "hypothesis", "diagnoses": "diagnosis",
+    "parentheses": "parenthesis", "axes": "axis", "series": "series",
+    "species": "species", "corpora": "corpus", "genera": "genus",
+    "alumni": "alumnus", "fungi": "fungus", "nuclei": "nucleus",
+    "radii": "radius", "stimuli": "stimulus", "syllabi": "syllabus",
+    "cacti": "cactus", "foci": "focus", "loci": "locus",
+    "larvae": "larva", "algae": "alga", "antennae": "antenna",
+    "leaves": "leaf", "loaves": "loaf", "knives": "knife",
+    "lives": "life", "wives": "wife", "halves": "half",
+    "calves": "calf", "shelves": "shelf", "wolves": "wolf",
+    "thieves": "thief", "scarves": "scarf", "sheep": "sheep",
+    "deer": "deer", "fish": "fish",
+}
+
+
 def lemmatize_light(word: str) -> str:
-    """Rule-based noun-plural lemmatizer — a documented approximation of
-    the reference's WordNetLemmatizer (no wordnet in this env): handles
-    regular plurals only, leaves everything else untouched."""
+    """Rule-based NOUN lemmatizer — from-scratch parity with the
+    reference's WordNetLemmatizer at its DEFAULT pos='n'
+    (text_processor.py:489-518): irregular forms from the table above,
+    then regular plural suffix rules. Verb/adjective inflections are
+    untouched, exactly as wordnet's noun mode leaves them. Remaining
+    divergence vs wordnet: nouns whose singular genuinely requires the
+    dictionary (e.g. uncountable-only entries) fall through the
+    regular rules."""
+    lw = word.lower()
+    irr = _IRREGULAR_NOUNS.get(lw)
+    if irr is not None:
+        return irr
     if len(word) <= 3:
         return word
     if word.endswith("ies"):

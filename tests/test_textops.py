@@ -136,6 +136,15 @@ def test_stem_text_udf_and_lemmatizer(spark):
     assert lemmatize_light("churches") == "church"
     assert lemmatize_light("classes") == "class"
     assert lemmatize_light("bus") == "bus"
+    # irregular nouns (r5: wordnet-noun-mode parity table); verbs
+    # untouched, matching WordNetLemmatizer's default pos='n'
+    assert lemmatize_light("children") == "child"
+    assert lemmatize_light("mice") == "mouse"
+    assert lemmatize_light("analyses") == "analysis"
+    assert lemmatize_light("leaves") == "leaf"
+    assert lemmatize_light("series") == "series"
+    assert lemmatize_light("running") == "running"
+    assert lemmatize_light("went") == "went"
 
 
 def test_split_sentences_modes(spark):
