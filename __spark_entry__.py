@@ -152,33 +152,48 @@ def q05_quantiles(spark, sf):
     )
 
 
-def q06_iqr_outliers(spark, sf):
+def q06_outliers(spark, sf):
+    """IQR outliers (lineitem prices) and z-score outliers (event
+    values) in one long-format result — merged from the former
+    q06/q07 so both predicates sit inside the driver's 50-query
+    adjudication window (round-4 VERDICT: the CORRECTNESS file caps
+    at 50 entries). src='iqr' rows carry (l_orderkey, l_linenumber),
+    src='z' rows carry (event_id, 0); val is the outlying value.
+    Reference analog: data_analyzer.py IQR/z-score outlier checks."""
     li = _t(spark, sf, "lineitem")
     b = li.agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("q1"),
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("q3"),
     )
-    return (
+    iqr = (
         li.crossJoin(F.broadcast(b))
         .filter(
             (F.col("l_extendedprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
             | (F.col("l_extendedprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
         )
-        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .select(
+            F.lit("iqr").alias("src"),
+            F.col("l_orderkey").cast("long").alias("id1"),
+            F.col("l_linenumber").cast("long").alias("id2"),
+            F.round("l_extendedprice", 2).alias("val"),
+        )
     )
-
-
-def q07_zscore_outliers(spark, sf):
     ev = _t(spark, sf, "events")
     st = ev.agg(
         F.round(F.avg("value"), 4).alias("mu"),
         F.round(F.stddev_samp("value"), 4).alias("sd"),
     )
-    return (
+    z = (
         ev.crossJoin(F.broadcast(st))
         .filter(F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0)
-        .select("event_id", F.round("value", 2).alias("value"))
+        .select(
+            F.lit("z").alias("src"),
+            F.col("event_id").cast("long").alias("id1"),
+            F.lit(0).cast("long").alias("id2"),
+            F.round("value", 2).alias("val"),
+        )
     )
+    return iqr.unionByName(z)
 
 
 def q08_skew_kurt(spark, sf):
@@ -831,7 +846,7 @@ def q48_connected_components(spark, sf):
     return out
 
 
-# dedup-pipeline contract (q49/q51): the subset bound keeps the
+# dedup-pipeline contract (q49): the subset bound keeps the
 # brute-force DuckDB oracle tractable at larger scale factors (all
 # 500 docs at sf0.01; 1000 of 5000 at sf0.1 — an all-pairs oracle over
 # the full sf0.1 table measured >400s)
@@ -840,7 +855,7 @@ _DEDUP_TAU = 0.5
 
 
 def _dedup_verified_pairs(spark, sf):
-    """Shared chain for q49/q51: real LSH candidates (16 bands x 1 hash
+    """Shared chain for q49: real LSH candidates (16 bands x 1 hash
     row — miss probability for a pair at jaccard j is (1-j)^16, ~1e-16
     at the j>=0.9 pairs this corpus holds, so candidates ∩ {j>=tau}
     equals the oracle's brute-force {j>=tau} set) -> exact n-gram
@@ -863,29 +878,50 @@ def _dedup_verified_pairs(spark, sf):
 
 
 def q49_dedup_pipeline(spark, sf):
-    """End-to-end dedup drop list (round-3 VERDICT directive #1):
-    minhash LSH candidates -> ngram_jaccard verify -> jaccard >= tau ->
-    connected components -> drop list (doc_id, component). The DuckDB
-    oracle recomputes the verified layer by BRUTE FORCE (all pairs in
-    the subset at jaccard >= tau) and the components by recursive CTE —
-    so signatures, banding, verification, and the drop-list step are
-    all independently checked; any behavior change in any stage flips
-    rows here. Reference analog: the zero-dups-after-clean invariant of
-    pipeline_generator.py:773-780."""
+    """End-to-end dedup pipeline (round-3 VERDICT directive #1; per-pair
+    jaccard folded in per round-4 directive #1 so the verify layer ALSO
+    sits inside the driver's 50-query adjudication window): minhash LSH
+    candidates -> ngram_jaccard verify -> jaccard >= tau -> connected
+    components. One row per verified pair, carrying its exact n-gram
+    jaccard AND both endpoints' component labels. The DuckDB oracle
+    recomputes the verified layer by BRUTE FORCE (all pairs in the
+    subset at jaccard >= tau, list_intersect/list_distinct over 3-word
+    shingle sets) and the components by recursive CTE — so signatures,
+    banding, per-pair verification values, and the component labeling
+    (from which the drop list ``doc_id != component`` is a pure filter)
+    are all independently checked; any behavior change in any stage
+    flips rows here. Reference analog: the zero-dups-after-clean
+    invariant of pipeline_generator.py:773-780."""
     from automatic_data_validator_spark.dedup import connected_dup_groups
 
     _d, ver = _dedup_verified_pairs(spark, sf)
-    ver = ver.select("id_a", "id_b").persist()
-    comps = connected_dup_groups(ver)
+    ver = ver.select("id_a", "id_b", "jaccard").persist()
+    comps = connected_dup_groups(ver.select("id_a", "id_b"))
     out = (
-        comps.filter(F.col("doc_id") != F.col("component"))
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("component").cast("long").alias("component"),
+        ver.join(
+            comps.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("component").cast("long").alias("comp_a"),
+            ),
+            "id_a",
         )
-        .orderBy("doc_id")
+        .join(
+            comps.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("component").cast("long").alias("comp_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "jaccard",
+            "comp_a",
+            "comp_b",
+        )
+        .orderBy("id_a", "id_b")
     )
-    # localCheckpoint the tiny drop list while caches are warm, then
+    # localCheckpoint the tiny pair list while caches are warm, then
     # release them (q48 pattern + round-4 review: uncached, each CC
     # round's plan references the previous labels twice, so a later
     # driver evaluation would recompute the Python-UDF LSH+jaccard
@@ -894,21 +930,6 @@ def q49_dedup_pipeline(spark, sf):
     comps.unpersist()
     ver.unpersist()
     return out
-
-
-def q51_verified_jaccard(spark, sf):
-    """The per-pair verification layer of the dedup pipeline: every
-    LSH-candidate pair surviving jaccard >= tau, WITH its exact n-gram
-    jaccard value — the DuckDB oracle recomputes the same value from
-    scratch (list_intersect/list_distinct over 3-word shingle sets),
-    so the engine's shingle construction and set arithmetic must match
-    per pair, not just in aggregate."""
-    _d, ver = _dedup_verified_pairs(spark, sf)
-    return ver.select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        "jaccard",
-    ).orderBy("id_a", "id_b")
 
 
 # deterministic noise for q50: gives the cleaning step real work on the
@@ -938,50 +959,56 @@ def q50_text_changes(spark, sf):
     return text_change_report(orig, cleaned, "text").orderBy("metric")
 
 
-def q52_multimodal_features(spark, sf):
-    """Multimodal decode/feature plumbing (multimodal.extract_features,
-    mapInPandas over binary payloads) under a full oracle: payloads are
-    the docs' UTF-8 bytes (pure-ASCII corpus, verified), the
-    deterministic fake decoder's feature[i] is byte[i]/255, so
-    round(feature[i]*255) recovers the exact byte the oracle reads with
-    ascii(substring(...)). Every 11th doc gets a NULL payload to pin
-    the decode-failure path (feature NULL, decode_ok false).
+def q52_multimodal_pipeline(spark, sf):
+    """The whole multimodal chain — decode/feature plumbing
+    (multimodal.extract_features, mapInPandas over binary payloads) AND
+    the metadata-driven frame-sampling plan (multimodal.frame_sample_plan)
+    — in one long-format result (merged from the former q52/q53 per
+    round-4 directive #1 so both sit inside the driver's 50-query
+    adjudication window). Rows: part in ('b0','b7','nfeat','ok') carry
+    the feature-side values per media_ref; part='frame' rows carry one
+    frame_ts_ms each.
 
-    Robustness note: the fake decoder ZERO-PADS payloads shorter than
-    out_dim*4 bytes (ljust in _decode_image_fake), so the feature array
-    is always exactly out_dim long — element_at(..., 8) cannot go out
-    of range under ANSI even for a short doc, and a padded byte reads
-    0, which the oracle's ascii('') also yields. The corpus is verified
-    pure-ASCII (multibyte text would break ascii()-vs-byte parity)."""
-    from automatic_data_validator_spark.multimodal import extract_features
+    Feature side oracle contract: payloads are the docs' UTF-8 bytes
+    (pure-ASCII corpus, verified), the deterministic fake decoder's
+    feature[i] is byte[i]/255, so round(feature[i]*255) recovers the
+    exact byte the oracle reads with ascii(substring(...)). Every 11th
+    doc gets a NULL payload to pin the decode-failure path (feature
+    NULL -> b0/b7/nfeat NULL, ok=0). The fake decoder ZERO-PADS
+    payloads shorter than out_dim*4 bytes (ljust in _decode_image_fake),
+    so element_at(..., 8) cannot go out of range under ANSI and a
+    padded byte reads 0 = the oracle's ascii('').
+
+    Frame side oracle contract: odd docs carry a deterministic
+    duration_ms and expand to range(0, dur, 600); even docs have no
+    duration and must emit no rows (oracle = DuckDB range() unnest)."""
+    from automatic_data_validator_spark.multimodal import (
+        extract_features,
+        frame_sample_plan,
+    )
 
     d = _t(spark, sf, "documents")
-    media = d.select(
+    img = d.select(
         F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"),
         F.lit("image").alias("media_kind"),
         F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit(None).cast("binary"))
         .otherwise(F.encode("text", "UTF-8"))
         .alias("payload"),
     )
-    feats = extract_features(media, out_dim=8)
-    return feats.select(
+    feats = extract_features(img, out_dim=8).select(
+        "media_ref", "decode_ok", "feature"
+    )
+    feat_rows = feats.select(
         "media_ref",
-        "decode_ok",
-        F.size("feature").alias("n_feat"),
-        F.round(F.element_at("feature", 1) * 255).cast("int").alias("b0"),
-        F.round(F.element_at("feature", 8) * 255).cast("int").alias("b7"),
-    ).orderBy("media_ref")
-
-
-def q53_frame_samples(spark, sf):
-    """Video/audio frame-sampling plan (multimodal.frame_sample_plan):
-    metadata-driven sequence expansion, oracle = DuckDB range()
-    unnest. Odd docs carry a deterministic duration; even docs have
-    none and must not emit samples."""
-    from automatic_data_validator_spark.multimodal import frame_sample_plan
-
-    d = _t(spark, sf, "documents")
-    media = d.select(
+        F.expr(
+            "stack(4,"
+            " 'b0', CAST(round(element_at(feature, 1) * 255) AS BIGINT),"
+            " 'b7', CAST(round(element_at(feature, 8) * 255) AS BIGINT),"
+            " 'nfeat', CAST(size(feature) AS BIGINT),"
+            " 'ok', CAST(decode_ok AS BIGINT)) AS (part, v)"
+        ),
+    )
+    audio = d.select(
         F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"),
         F.lit("audio").alias("media_kind"),
         F.lit(None).cast("binary").alias("payload"),
@@ -997,38 +1024,32 @@ def q53_frame_samples(spark, sf):
             F.lit("application/x-audio").alias("mime"),
         ).alias("meta"),
     )
-    return (
-        frame_sample_plan(media, every_ms=600)
-        .select(
-            "media_ref", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
-        )
-        .orderBy("media_ref", "frame_ts_ms")
+    frame_rows = frame_sample_plan(audio, every_ms=600).select(
+        "media_ref",
+        F.lit("frame").alias("part"),
+        F.col("frame_ts_ms").cast("long").alias("v"),
     )
+    return feat_rows.unionByName(frame_rows).orderBy("media_ref", "part", "v")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order is load-bearing: the driver's correctness gate
-    # adjudicates the FIRST 50 entries only (CORRECTNESS_r04 stopped
-    # at exactly 50, leaving q51-q53 sweep-green but driver-unseen).
-    # q51-q53 are therefore placed inside the window, and the three
-    # queries whose operators carry the strongest REDUNDANT driver
-    # evidence sit past it: q06 (IQR — same predicate re-checked by
-    # q43's full quality score), q17 (year rollup — subsumed by q37
-    # cube/rollup and q40 pivot), q42 (date arithmetic — pinned by
-    # the datetime pytest suite). This trades WHICH gate checks them,
-    # not WHETHER they are checked: all 53 queries run against their
-    # DuckDB oracles on every DEFAULT `pytest tests/` invocation
-    # (test_entry_contract.test_query_matches_oracle is parametrized
-    # over the full dict, cap-free) and again in the opt-in sf0.1
-    # sweep — a regression in the displaced three still fails CI,
-    # just not the driver's 50-row file.
+    # EXACTLY 50 entries — the driver's correctness gate adjudicates at
+    # most 50 queries (CORRECTNESS_r04 stopped at exactly 50, leaving
+    # three registered queries sweep-green but driver-unseen), so the
+    # 53 semantic checks of rounds 3-4 are folded into 50 names
+    # (round-4 VERDICT directive #1): the per-pair jaccard layer
+    # (former q51) is folded into q49's output, the multimodal frame
+    # sampler (former q53) is merged with the feature chain into q52,
+    # and the z-score outlier scan (former q07) is unioned into q06.
+    # Every component therefore has a driver-adjudicated oracle row;
+    # nothing relies on builder-side evidence alone.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_null_counts": q02_null_counts,
         "q03_distinct_counts": q03_distinct_counts,
         "q04_numeric_stats": q04_numeric_stats,
         "q05_quantiles": q05_quantiles,
-        "q07_zscore_outliers": q07_zscore_outliers,
+        "q06_outliers": q06_outliers,
         "q08_skew_kurt": q08_skew_kurt,
         "q09_categorical_detection": q09_categorical_detection,
         "q10_topk_brand": q10_topk_brand,
@@ -1038,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_text_length_stats": q14_text_length_stats,
         "q15_char_classes": q15_char_classes,
         "q16_numeric_convertibility": q16_numeric_convertibility,
+        "q17_year_rollup": q17_year_rollup,
         "q18_string_funcs": q18_string_funcs,
         "q19_regex_match_counts": q19_regex_match_counts,
         "q20_window_topk_orders": q20_window_topk_orders,
@@ -1062,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_stopword_removal": q39_stopword_removal,
         "q40_pivot": q40_pivot,
         "q41_setops": q41_setops,
+        "q42_date_arith": q42_date_arith,
         "q43_quality_score": q43_quality_score,
         "q44_mixed_type": q44_mixed_type,
         "q45_cosine_neardup": q45_cosine_neardup,
@@ -1070,13 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_connected_components": q48_connected_components,
         "q49_dedup_pipeline": q49_dedup_pipeline,
         "q50_text_changes": q50_text_changes,
-        "q51_verified_jaccard": q51_verified_jaccard,
-        "q52_multimodal_features": q52_multimodal_features,
-        "q53_frame_samples": q53_frame_samples,
-        # --- past the driver's 50-entry window (redundant evidence) ---
-        "q06_iqr_outliers": q06_iqr_outliers,
-        "q17_year_rollup": q17_year_rollup,
-        "q42_date_arith": q42_date_arith,
+        "q52_multimodal_pipeline": q52_multimodal_pipeline,
     }
 
 
@@ -1214,7 +1231,7 @@ def _q47_oracle_sql() -> str:
 
 
 def _dedup_verified_cte() -> str:
-    """Shared q49/q51 oracle layer: brute-force 3-word-shingle jaccard
+    """Shared q49 oracle layer: brute-force 3-word-shingle jaccard
     over all pairs in the doc_id subset (size-ratio prefilter is exact:
     jaccard >= 0.5 forces |A| <= 2|B| and |B| <= 2|A|)."""
     return f"""
@@ -1242,6 +1259,9 @@ def _dedup_verified_cte() -> str:
 
 
 def _q49_oracle_sql() -> str:
+    """Brute-force pairs + per-pair jaccard + recursive-CTE component
+    labels, joined per pair — the one oracle adjudicates candidates,
+    verification values, and the drop-list labeling together."""
     return f"""
       WITH RECURSIVE {_dedup_verified_cte()},
       bidir AS (
@@ -1255,18 +1275,15 @@ def _q49_oracle_sql() -> str:
         SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.node
       ),
       comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
-      SELECT CAST(node AS BIGINT) AS doc_id,
-             CAST(component AS BIGINT) AS component
-      FROM comp WHERE node <> component ORDER BY doc_id
-    """
-
-
-def _q51_oracle_sql() -> str:
-    return f"""
-      WITH {_dedup_verified_cte()}
-      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-             jaccard
-      FROM verified ORDER BY id_a, id_b
+      SELECT CAST(v.id_a AS BIGINT) AS id_a,
+             CAST(v.id_b AS BIGINT) AS id_b,
+             v.jaccard,
+             CAST(ca.component AS BIGINT) AS comp_a,
+             CAST(cb.component AS BIGINT) AS comp_b
+      FROM verified v
+      JOIN comp ca ON ca.node = v.id_a
+      JOIN comp cb ON cb.node = v.id_b
+      ORDER BY id_a, id_b
     """
 
 
@@ -1429,20 +1446,25 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.75), 4) AS q3
             FROM lineitem GROUP BY l_returnflag
         """,
-        "q06_iqr_outliers": """
+        "q06_outliers": """
             WITH b AS (
               SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
                      round(quantile_cont(l_extendedprice, 0.75), 2) AS q3
-              FROM lineitem)
-            SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+              FROM lineitem),
+            s AS (SELECT round(avg(value), 4) AS mu,
+                         round(stddev_samp(value), 4) AS sd FROM events)
+            SELECT 'iqr' AS src,
+                   CAST(l_orderkey AS BIGINT) AS id1,
+                   CAST(l_linenumber AS BIGINT) AS id2,
+                   round(l_extendedprice, 2) AS val
             FROM lineitem, b
             WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
                OR l_extendedprice > q3 + 1.5 * (q3 - q1)
-        """,
-        "q07_zscore_outliers": """
-            WITH s AS (SELECT round(avg(value), 4) AS mu,
-                              round(stddev_samp(value), 4) AS sd FROM events)
-            SELECT event_id, round(value, 2) AS value
+            UNION ALL
+            SELECT 'z' AS src,
+                   CAST(event_id AS BIGINT) AS id1,
+                   CAST(0 AS BIGINT) AS id2,
+                   round(value, 2) AS val
             FROM events, s WHERE abs((value - mu) / sd) > 3.0
         """,
         "q08_skew_kurt": """
@@ -1870,31 +1892,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q49_dedup_pipeline": _q49_oracle_sql(),
         "q50_text_changes": _q50_oracle_sql(),
-        "q51_verified_jaccard": _q51_oracle_sql(),
-        "q52_multimodal_features": """
+        "q52_multimodal_pipeline": """
             WITH m AS (
               SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
                      CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS t
               FROM documents
-            )
-            SELECT media_ref,
-                   t IS NOT NULL AS decode_ok,
-                   CASE WHEN t IS NULL THEN NULL
-                        ELSE CAST(8 AS INTEGER) END AS n_feat,
-                   CASE WHEN t IS NULL THEN NULL
-                        ELSE CAST(ascii(substring(t, 1, 1)) AS INTEGER) END AS b0,
-                   CASE WHEN t IS NULL THEN NULL
-                        ELSE CAST(ascii(substring(t, 8, 1)) AS INTEGER) END AS b7
-            FROM m ORDER BY media_ref
-        """,
-        "q53_frame_samples": """
-            WITH m AS (
+            ),
+            fm AS (
               SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
                      (doc_id % 7) * 700 + 500 AS dur
               FROM documents WHERE doc_id % 2 = 1
             )
-            SELECT media_ref,
-                   CAST(unnest(range(0, dur, 600)) AS BIGINT) AS frame_ts_ms
-            FROM m ORDER BY media_ref, frame_ts_ms
+            SELECT media_ref, part, v FROM (
+              SELECT media_ref, 'b0' AS part,
+                     CASE WHEN t IS NULL THEN NULL
+                          ELSE CAST(ascii(substring(t, 1, 1)) AS BIGINT) END AS v
+              FROM m
+              UNION ALL
+              SELECT media_ref, 'b7',
+                     CASE WHEN t IS NULL THEN NULL
+                          ELSE CAST(ascii(substring(t, 8, 1)) AS BIGINT) END
+              FROM m
+              UNION ALL
+              SELECT media_ref, 'nfeat',
+                     CASE WHEN t IS NULL THEN NULL ELSE CAST(8 AS BIGINT) END
+              FROM m
+              UNION ALL
+              SELECT media_ref, 'ok', CAST(t IS NOT NULL AS BIGINT) FROM m
+              UNION ALL
+              SELECT media_ref, 'frame',
+                     CAST(unnest(range(0, dur, 600)) AS BIGINT)
+              FROM fm
+            ) ORDER BY media_ref, part, v
         """,
     }
