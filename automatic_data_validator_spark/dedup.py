@@ -88,6 +88,16 @@ def uniqueness_check(
     sort of those aggregated rows, which is the price of the saved
     100-TB scan.
 
+    Bucketed input (``sources.write_bucketed_table`` /
+    ``spark.table`` of a table bucketed by ``key``): the scan's
+    HashPartitioning(key) satisfies the clustered distribution of
+    both phases — same key => same bucket, so the partition-id salt
+    adds nothing to the shuffle key — and Catalyst elides EVERY
+    Exchange, fusing the whole check into one stage riding the scan.
+    Re-validating the same corpus every snapshot therefore pays zero
+    uniqueness shuffle; no code-path switch is needed (plan-pinned by
+    test_uniqueness_on_bucketed_input_plans_zero_exchange).
+
     partition_totals: per-partition row counts already known from the
     row-rules pass (same scan partitioning); computed here — one extra
     pruned scan — only if absent. Pass a DataFrame
