@@ -276,6 +276,174 @@ def sketch_by_group(
     return {r["group"]: TDigest.deserialize(r["sketch"]) for r in rows}
 
 
+_GROUPED_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType(), True),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("sketch", T.StringType(), False),
+    ]
+)
+
+
+def _grouped_sketch_partials(
+    df: DataFrame,
+    group_col: str,
+    columns: list[str],
+    compression: float = 200.0,
+    combine_buckets: int = 64,
+) -> DataFrame:
+    """Per-(group, column) t-digest partials with the same two-level
+    merge discipline as _sketch_partials: level 1 folds each
+    partition's Arrow batches into one digest row per (group, column)
+    seen in the partition; level 2 merges those rows cluster-side in
+    ≤ combine_buckets buckets per (group, column). The combine shuffle
+    carries digests, not raw values — O(partitions × groups ×
+    compression) bytes, independent of row count — unlike
+    sketch_by_group, whose applyInPandas shuffles every (group, value)
+    pair. A group present in a partition always emits a row for every
+    column, even when all its values are null (weight-0 digest):
+    'group present, values vanished' must stay distinguishable from
+    'group missing'."""
+
+    def build(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        partials: dict[tuple[str, str], TDigest] = {}
+        for batch in iterator:
+            keys = batch[group_col].astype(str).fillna("null")
+            for g, sub in batch.groupby(keys, sort=False):
+                for c in columns:
+                    vals = pd.to_numeric(sub[c], errors="coerce").to_numpy(
+                        dtype=np.float64
+                    )
+                    d = TDigest.from_values(vals, compression)
+                    key = (str(g), c)
+                    prev = partials.get(key)
+                    if prev is None:
+                        partials[key] = d
+                    elif d.total_weight:
+                        partials[key] = prev.merge(d)
+        yield pd.DataFrame(
+            {
+                "group": [k[0] for k in partials],
+                "column": [k[1] for k in partials],
+                "sketch": [d.serialize() for d in partials.values()],
+            }
+        )
+
+    def merge_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.merge_all(
+            (TDigest.deserialize(s) for s in pdf["sketch"]), compression
+        )
+        return pd.DataFrame(
+            {"group": [key[0]], "column": [key[1]], "sketch": [d.serialize()]}
+        )
+
+    return (
+        df.select(group_col, *columns)
+        .mapInPandas(build, _GROUPED_SKETCH_SCHEMA)
+        .withColumn(
+            "_b", F.pmod(F.spark_partition_id(), F.lit(int(combine_buckets)))
+        )
+        .groupBy("group", "column", "_b")
+        .applyInPandas(merge_bucket, _GROUPED_SKETCH_SCHEMA)
+    )
+
+
+def sketch_columns_by_group(
+    df: DataFrame,
+    group_col: str,
+    columns: list[str],
+    compression: float = 200.0,
+    combine_buckets: int = 64,
+) -> "dict[str, dict[str, TDigest]]":
+    """{group: {column: TDigest}} via the two-level partial merge; the
+    driver receives ≤ combine_buckets rows per (group, column). Meant
+    for cohort monitoring (languages, sources, shards): group count is
+    assumed bounded the way a monitoring dimension is, not key-like."""
+    rows = _grouped_sketch_partials(
+        df, group_col, columns, compression, combine_buckets
+    ).collect()
+    merged: dict[str, dict[str, list[TDigest]]] = {}
+    for r in rows:
+        merged.setdefault(r["group"], {}).setdefault(r["column"], []).append(
+            TDigest.deserialize(r["sketch"])
+        )
+    return {
+        g: {c: TDigest.merge_all(ds, compression) for c, ds in cols.items()}
+        for g, cols in merged.items()
+    }
+
+
+def save_grouped_baseline(
+    sketches: "dict[str, dict[str, TDigest]]",
+    spark,
+    path: str,
+    snapshot_id: str = "snap-0",
+) -> None:
+    """Persist a per-group baseline (sketch_columns_by_group output) as
+    (snapshot_id, group, column, sketch) parquet. load_baseline on a
+    grouped file raises — the formats are deliberately distinct."""
+    rows = [
+        (snapshot_id, g, c, d.serialize())
+        for g, cols in sketches.items()
+        for c, d in cols.items()
+    ]
+    spark.createDataFrame(
+        rows, "snapshot_id string, group string, column string, sketch string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_grouped_baseline(
+    spark, path: str
+) -> "dict[str, dict[str, TDigest]]":
+    """Load a save_grouped_baseline file -> {group: {column: TDigest}}."""
+    out: dict[str, dict[str, TDigest]] = {}
+    for r in spark.read.parquet(path).collect():
+        out.setdefault(r["group"], {})[r["column"]] = TDigest.deserialize(
+            r["sketch"]
+        )
+    return out
+
+
+def grouped_drift_report_columns(
+    cur: "dict[str, dict[str, TDigest]]",
+    baseline: "dict[str, dict[str, TDigest]]",
+    columns: "list[str] | None" = None,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> list[dict]:
+    """Multi-column cohort drift over already-built grouped sketches:
+    one row per (group, column). Degenerate contract follows
+    grouped_drift_report / drift_report_sketches (round-4 review): a
+    group present on exactly one side fires drifted=true for every
+    column (reason missing_in_current/baseline — a vanished cohort IS
+    drift), and an empty-on-exactly-one-side sketch fires
+    reason=empty_sketch rather than comparing NaN against thresholds."""
+    out = []
+    for g in sorted(set(cur) | set(baseline)):
+        if g not in cur or g not in baseline:
+            present = cur.get(g) or baseline.get(g) or {}
+            cols = columns or sorted(present)
+            reason = (
+                "missing_in_current" if g not in cur else "missing_in_baseline"
+            )
+            for c in cols:
+                if c not in present:
+                    continue
+                n_cur = int(cur[g][c].total_weight) if g in cur else 0
+                out.append(
+                    {"group": g, "column": c, "ks": float("nan"),
+                     "psi": float("nan"), "drifted": True,
+                     "reason": reason, "n_current": n_cur}
+                )
+            continue
+        cols = columns or sorted(set(cur[g]) & set(baseline[g]))
+        for r in drift_report_sketches(
+            cur[g], baseline[g], cols, ks_threshold, psi_threshold
+        ):
+            out.append({"group": g, **r})
+    return out
+
+
 def grouped_drift_report(
     current_df: DataFrame,
     baseline_df: DataFrame,
@@ -447,9 +615,16 @@ def save_baseline(
 
 def load_baseline(spark, path: str) -> "dict[str, TDigest]":
     """Load a baseline saved by save_baseline -> {column: TDigest}."""
+    df = spark.read.parquet(path)
+    if "group" in df.columns:
+        raise ValueError(
+            f"{path} is a GROUPED baseline (save_grouped_baseline); "
+            "load it with load_grouped_baseline / pass drift_group_by "
+            "— silently flattening per-group sketches would merge "
+            "cohorts into a table-level digest and mask cohort drift"
+        )
     return {
-        r["column"]: TDigest.deserialize(r["sketch"])
-        for r in spark.read.parquet(path).collect()
+        r["column"]: TDigest.deserialize(r["sketch"]) for r in df.collect()
     }
 
 
@@ -490,7 +665,9 @@ def quantile_grid(df: DataFrame, column: str, grid: list[float]) -> list[float]:
     return list(row["q"])
 
 
-def document_signals(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+def document_signals(
+    df: DataFrame, spans_col: str = "spans", keep: "list[str] | None" = None
+) -> DataFrame:
     """Numeric drift signals for the interleaved documents shape —
     the flagship table has NO plain numeric columns, so distribution
     drift monitors these derived per-doc quantities instead:
@@ -502,10 +679,15 @@ def document_signals(df: DataFrame, spans_col: str = "spans") -> DataFrame:
 
     NULL ``spans`` rows count as 0 for every signal: with non-ANSI
     Spark ``size(NULL)`` is -1, which would silently drag the sketched
-    distribution left, so sizes are guarded with an isNull branch."""
+    distribution left, so sizes are guarded with an isNull branch.
+
+    ``keep``: pass through extra columns unchanged (e.g. a cohort
+    column for run_validation's ``drift_group_by``).
+    """
     s = F.col(spans_col)
     null_zero = F.when(s.isNull(), F.lit(0.0))
     return df.select(
+        *[F.col(c) for c in (keep or [])],
         null_zero.otherwise(F.size(s).cast("double")).alias("n_spans"),
         F.length(
             F.coalesce(F.array_join(s.getField("text"), ""), F.lit(""))

@@ -72,6 +72,7 @@ def run_validation(
     drift_ks_threshold: float = 0.1,
     drift_psi_threshold: float = 0.2,
     drift_signals: "Any | None" = None,
+    drift_group_by: "str | None" = None,
 ) -> ValidationResult:
     """See module docstring. verdict_spill_threshold: when the input
     has more partitions than this, per-partition verdicts are NOT
@@ -354,8 +355,13 @@ def run_validation(
         from . import drift as DR
 
         def drift_check():
+            grouped = drift_group_by is not None
             baseline = (
-                DR.load_baseline(spark, drift_baseline)
+                (
+                    DR.load_grouped_baseline(spark, drift_baseline)
+                    if grouped
+                    else DR.load_baseline(spark, drift_baseline)
+                )
                 if isinstance(drift_baseline, str)
                 else drift_baseline
             )
@@ -365,6 +371,61 @@ def run_validation(
             target = (
                 drift_signals(documents) if drift_signals else documents
             )
+            if grouped:
+                # cohort drift (r5, round-4 VERDICT directive #5): the
+                # baseline is {group: {column: sketch}}; one verdict /
+                # violation per (group, column), so a drifted cohort
+                # surfaces even when the table-level mixture is stable
+                if drift_group_by not in target.columns:
+                    raise ValueError(
+                        f"drift phase: drift_group_by column "
+                        f"'{drift_group_by}' is not in the signal frame "
+                        f"columns {sorted(target.columns)} — pass "
+                        "drift_signals that keeps it (e.g. "
+                        "document_signals(keep=[...]))"
+                    )
+                base_cols = sorted(
+                    {c for g in baseline.values() for c in g}
+                )
+                cols = drift_columns or sorted(
+                    set(base_cols) & set(target.columns)
+                )
+                bad = [
+                    c for c in cols
+                    if c not in base_cols or c not in target.columns
+                ]
+                if not cols or bad:
+                    raise ValueError(
+                        f"drift phase: columns {bad or sorted(target.columns)} "
+                        f"do not intersect grouped-baseline columns "
+                        f"{base_cols} and target columns "
+                        f"{sorted(target.columns)}"
+                    )
+                cur = DR.sketch_columns_by_group(
+                    target, drift_group_by, cols
+                )
+                report = DR.grouped_drift_report_columns(
+                    cur, baseline, cols,
+                    ks_threshold=drift_ks_threshold,
+                    psi_threshold=drift_psi_threshold,
+                )
+                v_rows, viol_rows = [], []
+                for r in report:
+                    rid = f"drift_{r['column']}[{r['group']}]"
+                    v_rows.append(
+                        (-1, rid, int(r.get("n_current") or 0),
+                         1 if r["drifted"] else 0, not r["drifted"])
+                    )
+                    if r["drifted"]:
+                        viol_rows.append(
+                            (f"{r['column']}[{r['group']}]", rid, -1,
+                             f"group={r['group']};ks={r['ks']:.6f};"
+                             f"psi={r['psi']:.6f};reason={r['reason']}")
+                        )
+                return (
+                    spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
+                    spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),
+                )
             cols = drift_columns or sorted(
                 set(baseline) & set(target.columns)
             )

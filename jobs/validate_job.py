@@ -44,23 +44,28 @@ sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
-def _pick_signals_fn(docs):
+def _pick_signals_fn(docs, group_by: str | None = None):
     """One encoding of the drift-target rule for BOTH run modes: sketch
     plain numeric columns when the table has them, else derive the
     interleaved shape's per-doc signals (the flagship documents table
     has NO numeric columns — a silent no-op would make the drift flags
-    dead letters). Returns (numeric_columns, signals_fn_or_None)."""
+    dead letters). With ``group_by``, the derived signal frame keeps
+    the cohort column so per-group sketches can partition on it.
+    Returns (numeric_columns, signals_fn_or_None)."""
     from pyspark.sql import types as _T
 
     from automatic_data_validator_spark.drift import document_signals
 
     numeric = [
         f.name for f in docs.schema.fields
-        if isinstance(f.dataType, _T.NumericType)
+        if isinstance(f.dataType, _T.NumericType) and f.name != group_by
     ]
     signals_fn = None
     if not numeric and "spans" in docs.columns:
-        signals_fn = document_signals
+        if group_by:
+            signals_fn = lambda d: document_signals(d, keep=[group_by])  # noqa: E731
+        else:
+            signals_fn = document_signals
     return numeric, signals_fn
 
 
@@ -76,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--drift-baseline", default=None,
                     help="path of a drift.save_baseline snapshot; adds "
                          "the distribution-drift phase")
+    ap.add_argument("--drift-group-by", default=None, metavar="COL",
+                    help="cohort column for per-(group, column) drift: "
+                         "--save-drift-baseline writes a grouped "
+                         "baseline, --drift-baseline expects one and "
+                         "emits one verdict/violation per cohort")
     ap.add_argument("--save-drift-baseline", default=None, metavar="PATH",
                     help="after validating, sketch the numeric columns "
                          "and save them as the NEXT run's baseline")
@@ -145,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
                 "their own state and a baseline should be saved from a "
                 "full run"
             )
+        if args.drift_group_by:
+            raise SystemExit(
+                "--incremental-state is incompatible with "
+                "--drift-group-by: incremental drift merges TABLE-level "
+                "per-increment digests; per-cohort incremental merge is "
+                "not implemented — run cohort drift from the full path"
+            )
         # --drift-baseline IS supported: the increment sketches its
         # delta signals and the merged corpus digest is compared
         _numeric, signals_fn = (
@@ -191,24 +208,37 @@ def main(argv: list[str] | None = None) -> int:
         sketch_columns,
     )
 
-    numeric, signals_fn = _pick_signals_fn(docs)
+    numeric, signals_fn = _pick_signals_fn(docs, args.drift_group_by)
+
+    # shape-aware rules: DEFAULT_RULES are the interleaved documents
+    # contract (span_order/span_shape reference `spans`); a plain table
+    # without that column would otherwise fail rule COMPILATION before
+    # any check runs. Fall back to a minimal not-null on the key.
+    rule_set = None
+    if "spans" not in docs.columns:
+        from automatic_data_validator_spark import rules as _R
+
+        key = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
+        rule_set = [_R.Rule(f"not_null_{key}", "not_null", column=key)]
 
     res = run_validation(
         spark,
         docs,
         catalog=catalog,
+        rule_set=rule_set,
         checkpoint_dir=args.checkpoint,
         snapshot_id=snapshot_id,
         rule_version=args.rule_version,
         with_profile=not args.no_profile,
         drift_baseline=args.drift_baseline,
         drift_signals=signals_fn,
+        drift_group_by=args.drift_group_by,
     )
 
     if args.save_drift_baseline:
         if signals_fn is not None:
             target = signals_fn(docs)
-            cols = target.columns
+            cols = [c for c in target.columns if c != args.drift_group_by]
         elif numeric:
             target, cols = docs, numeric
         else:
@@ -223,10 +253,28 @@ def main(argv: list[str] | None = None) -> int:
                 "dead letters. Pick a table with numeric columns or "
                 "the interleaved documents shape."
             )
-        save_baseline(
-            sketch_columns(target, list(cols)), spark,
-            args.save_drift_baseline, snapshot_id=snapshot_id,
-        )
+        if args.drift_group_by:
+            from automatic_data_validator_spark.drift import (
+                save_grouped_baseline,
+                sketch_columns_by_group,
+            )
+
+            if args.drift_group_by not in target.columns:
+                raise SystemExit(
+                    f"--drift-group-by: column '{args.drift_group_by}' "
+                    f"is not in the signal frame ({list(target.columns)})"
+                )
+            save_grouped_baseline(
+                sketch_columns_by_group(
+                    target, args.drift_group_by, list(cols)
+                ),
+                spark, args.save_drift_baseline, snapshot_id=snapshot_id,
+            )
+        else:
+            save_baseline(
+                sketch_columns(target, list(cols)), spark,
+                args.save_drift_baseline, snapshot_id=snapshot_id,
+            )
         print(f"drift baseline saved: {args.save_drift_baseline}")
 
     from automatic_data_validator_spark.sources import write_outputs_parallel

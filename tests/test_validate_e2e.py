@@ -155,6 +155,52 @@ def test_spark_submit_job_entrypoint(spark, tmp_path):
     assert quar.filter("size(failed_rules) = 0").count() == 0
 
 
+def test_job_grouped_drift_roundtrip(spark, tmp_path):
+    """CLI cohort drift: --save-drift-baseline + --drift-group-by
+    writes a grouped baseline; a later run with --drift-baseline +
+    --drift-group-by on a table whose cohorts swapped distributions
+    exits nonzero with per-cohort drift verdicts."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import validate_job
+
+    base = str(tmp_path / "gjob")
+
+    def tbl(swap: bool):
+        lo = F.rand(3) * 10.0
+        hi = F.rand(5) * 10.0 + 500.0
+        a, b = (hi, lo) if swap else (lo, hi)
+        return spark.range(0, 4000, 1, 4).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("s1"))
+            .otherwise(F.lit("s2")).alias("source"),
+            F.when(F.col("id") % 2 == 0, a).otherwise(b).alias("v"),
+        )
+
+    tbl(False).write.parquet(f"{base}/docs0")
+    tbl(True).write.parquet(f"{base}/docs1")
+    rc0 = validate_job.main([
+        "--documents", f"{base}/docs0", "--output", f"{base}/out0",
+        "--no-profile", "--save-drift-baseline", f"{base}/gbase",
+        "--drift-group-by", "source",
+    ])
+    assert rc0 == 0
+    rc1 = validate_job.main([
+        "--documents", f"{base}/docs1", "--output", f"{base}/out1",
+        "--no-profile", "--drift-baseline", f"{base}/gbase",
+        "--drift-group-by", "source",
+    ])
+    assert rc1 == 1
+    bad = {
+        r["rule_id"]
+        for r in spark.read.parquet(f"{base}/out1/verdicts")
+        .filter("NOT `pass`").collect()
+    }
+    assert {"drift_v[s1]", "drift_v[s2]"} <= bad
+
+
 def test_referential_rule_honored_and_loud_without_catalog(spark, docs, catalog):
     from automatic_data_validator_spark import rules as R
 
@@ -307,6 +353,90 @@ def test_run_validation_drift_phase(spark, tmp_path):
         drift_baseline=bpath, checkpoint_dir=ck, snapshot_id="s1",
     )
     assert {r["rule_id"] for r in res3.verdicts.collect() if not r["pass"]} == {"drift_shifted"}
+
+
+def test_run_validation_grouped_drift_catches_cohort_swap(spark, tmp_path):
+    """drift_group_by (r5, round-4 VERDICT directive #5): per-(group,
+    column) verdicts catch a drifted COHORT the table-level mixture
+    hides. Construction: two equal-size cohorts swap value ranges
+    between baseline and current — the table-level distribution is
+    identical (table-level drift passes), but every per-group KS is ~1.
+    Also pins the degenerate contract (a cohort missing from current
+    fires missing_in_current for each column) and the load-format
+    guard (load_baseline refuses a grouped file)."""
+    import pytest as _pytest
+
+    from automatic_data_validator_spark import rules as R
+    from automatic_data_validator_spark.drift import (
+        load_baseline,
+        save_grouped_baseline,
+        sketch_columns,
+        sketch_columns_by_group,
+    )
+
+    def cohorts(swap: bool):
+        lo = F.rand(7) * 100.0
+        hi = F.rand(11) * 100.0 + 1000.0
+        a_val, b_val = (hi, lo) if swap else (lo, hi)
+        return spark.range(0, 8000, 1, 4).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("cohort_a"))
+            .otherwise(F.lit("cohort_b")).alias("source"),
+            F.when(F.col("id") % 2 == 0, a_val).otherwise(b_val).alias("v"),
+        )
+
+    base_df, cur_df = cohorts(False), cohorts(True)
+    grouped_base = sketch_columns_by_group(base_df, "source", ["v"])
+    assert set(grouped_base) == {"cohort_a", "cohort_b"}
+    rs = [R.Rule("nn", "not_null", column="doc_id")]
+
+    # table-level check on the same swap: mixture unchanged -> passes
+    res_table = run_validation(
+        spark, cur_df, rule_set=rs, check_uniqueness=False,
+        with_profile=False, drift_baseline=sketch_columns(base_df, ["v"]),
+    )
+    assert all(
+        r["pass"] for r in res_table.verdicts.collect()
+        if r["rule_id"].startswith("drift_")
+    )
+
+    # grouped check: both cohorts drifted, attributed individually
+    bpath = str(tmp_path / "grouped_baseline")
+    save_grouped_baseline(grouped_base, spark, bpath)
+    with _pytest.raises(ValueError, match="GROUPED baseline"):
+        load_baseline(spark, bpath)
+    res = run_validation(
+        spark, cur_df, rule_set=rs, check_uniqueness=False,
+        with_profile=False, drift_baseline=bpath, drift_group_by="source",
+    )
+    v = {
+        r["rule_id"]: r for r in res.verdicts.collect()
+        if r["rule_id"].startswith("drift_")
+    }
+    assert set(v) == {"drift_v[cohort_a]", "drift_v[cohort_b]"}
+    assert not v["drift_v[cohort_a]"]["pass"]
+    assert not v["drift_v[cohort_b]"]["pass"]
+    assert v["drift_v[cohort_a]"]["partition_id"] == -1
+    viol = {
+        r["doc_id"]: r["detail"] for r in res.violations.collect()
+        if r["rule_id"].startswith("drift_")
+    }
+    assert "reason=stats" in viol["v[cohort_a]"]
+    assert "group=cohort_b" in viol["v[cohort_b]"]
+
+    # vanished cohort: current holds only cohort_a -> cohort_b fires
+    # missing_in_current (a silent skip would mask total cohort loss)
+    only_a = cur_df.filter(F.col("source") == "cohort_a")
+    res_missing = run_validation(
+        spark, only_a, rule_set=rs, check_uniqueness=False,
+        with_profile=False, drift_baseline=bpath, drift_group_by="source",
+    )
+    missing = [
+        r for r in res_missing.violations.collect()
+        if r["rule_id"] == "drift_v[cohort_b]"
+    ]
+    assert len(missing) == 1
+    assert "reason=missing_in_current" in missing[0]["detail"]
 
 
 def test_document_signals_drift_wiring(spark, docs):
