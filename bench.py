@@ -249,6 +249,7 @@ def main() -> None:
     )
     log(
         f"run summary: phases_duration_s={tot['duration_s']} "
+        f"wall_s={tot['wall_s']} "
         f"checked_rows={tot['row_count']} violations={tot['violation_count']} "
         f"pass_rate={tot['pass_rate']}"
     )

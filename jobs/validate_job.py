@@ -303,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
     tot = next(r for r in summary.collect() if r["phase"] == "__run__")
     print(
         f"run summary: phases_duration_s={tot['duration_s']} "
+        f"wall_s={tot['wall_s']} "
         f"checked_rows={tot['row_count']} violations={tot['violation_count']} "
         f"pass_rate={tot['pass_rate']}"
     )

@@ -441,6 +441,11 @@ def test_run_summary_matches_hand_computed(spark):
     tot = rows[("__run__", "__total__")]
     # phase durations: row_rules 2.5 + uniqueness 4.0 (not per-op sums)
     assert tot["duration_s"] == 6.5
+    # wall clock (round-4 VERDICT wrong #4): every row ends at ts=1.0,
+    # so the phases OVERLAP — the run's true wall is the longest span
+    # (uniqueness: start 1.0-4.0=-3.0 .. end 1.0), not the 6.5 sum
+    assert tot["wall_s"] == 4.0
+    assert nn["wall_s"] is None  # per-op rows don't carry it
     assert tot["row_count"] == 450 and tot["violation_count"] == 45
     assert math.isclose(tot["pass_rate"], 1.0 - 45 / 450)
     assert tot["passed"] is False
