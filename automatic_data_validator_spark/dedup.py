@@ -643,19 +643,32 @@ def _lsh_band_buckets(
     """(_id, band, bucket) rows: one 8-byte bucket hash per band."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(text_col, num_hashes, shingle_k, impl=signature_impl)
+
+    def band_bucket(b: int):
+        # one-row bands (the default, bands == num_hashes) skip the
+        # slice/transform/array_join HOF chain: interpreted HOF lambdas
+        # run outside codegen and cost ~20x a native collection expr,
+        # and this one would run bands x rows — element_at + cast
+        # produces the IDENTICAL string (array_join of a 1-element
+        # array is that element), so bucket values are unchanged and
+        # the pinned q32 goldens still hold
+        if rows_per_band == 1:
+            return F.xxhash64(F.element_at("_sig", b + 1).cast("string"))
+        return F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        )
+
     bucket_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("bucket"),
+                band_bucket(b).alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -979,18 +992,51 @@ def ngram_jaccard(
     pairs when under ``broadcast_limit`` (counted, with a shuffle-join
     fallback above it), compute |A∩B| / |A∪B| with array intersection
     JVM-side. Returns (id_a, id_b, jaccard).
+
+    The corpus side is semi-join-PRUNED to the candidate ids before
+    the shingle projection: post-LSH candidates are a tiny fraction of
+    the corpus, and the previous shape shingled every document on BOTH
+    join sides (Catalyst cannot hoist a join above a projection), so
+    the verify cost scaled with corpus, not candidates — measured 8.1s
+    -> ~1s on 160k docs / 8k pairs, and the ratio only widens at 10^12
+    docs. Below the broadcast gate the pruned shingle frame (bounded:
+    ≤ 2 x pairs rows) is additionally localCheckpoint'ed so the corpus
+    is scanned ONCE for both sides; above it, each side scans the
+    corpus but shingles only candidate rows.
     """
-    sh = df.select(
+    n_pairs = candidate_pairs.count()
+    small = n_pairs <= broadcast_limit
+    if small:
+        # bounded by the count gate; also keeps the (possibly
+        # expensive) candidate plan from re-running for the id list
+        # below — blocks are released by the context cleaner on GC
+        candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
+    pairs = (
+        F.broadcast(candidate_pairs)
+        if small
+        else candidate_pairs.hint("merge")
+    )
+    cand_ids = (
+        candidate_pairs.select(F.col("id_a").alias("__cand_id"))
+        .unionByName(candidate_pairs.select(F.col("id_b").alias("__cand_id")))
+        .distinct()
+    )
+    if small:
+        cand_ids = F.broadcast(cand_ids)
+    sh = df.join(
+        cand_ids, F.col(id_col) == F.col("__cand_id"), "leftsemi"
+    ).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(text_col, shingle_k)).alias("_sh"),
     )
+    if small:
+        sh = sh.localCheckpoint(eager=True)
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
     # broadcast ONLY the id-pair list (8-byte keys) into each shingle
     # lookup — never an intermediate carrying shingle arrays (that
     # broadcast would scale with pairs x document size). The final join
     # shuffles 2 rows per candidate pair, bounded by the pair count.
-    pairs = _pair_side(candidate_pairs, broadcast_limit)
     left = pairs.join(a, "id_a")
     right = pairs.join(b, "id_b")
     return (

@@ -56,6 +56,18 @@ def host_probe(cores: int) -> float:
     return float(out.stdout.strip())
 
 
+def _input_records(spark) -> int:
+    """Cumulative records read from input sources across completed
+    stages (AppStatusStore) — delta / corpus rows counts how many
+    times an input was scanned (same helper tests/test_fused_profile
+    and tests/test_incremental pin plans with)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark._jvm.java.util.Collections.emptyList()
+    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    stages = store.stageList(empty, *args)
+    return sum(stages.apply(i).inputRecords() for i in range(stages.size()))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -160,6 +172,56 @@ def main() -> None:
     timings["minhash_sig_160k"] = round(best, 3)
     log(f"minhash_sig_160k: {best:.3f}s ({n_txt} texts)")
     big.unpersist()
+
+    # --- composed near-dup pipeline e2e (round-4 VERDICT directive #6):
+    # LSH candidates -> jaccard verify -> connected components ->
+    # anti-join, on a 160k-doc corpus with PLANTED ground truth (8k
+    # consecutive near-dup pairs at jaccard ~0.9, everything else
+    # jaccard 0) so the timing doubles as a recall/exactness gate.
+    from automatic_data_validator_spark.dedup import neardup_dedup
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+
+    n_dd, n_pair_docs = 160_000, 16_000
+    make_neardup_corpus(spark, n_dd, n_pair_docs, seed=7).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/dedup_corpus")
+    ddf = spark.read.parquet(f"{work}/dedup_corpus")
+    # untimed 1/32-scale warm-up: the FIRST Arrow-UDF invocation pays
+    # Python-worker spawn + numpy import (~10s measured) — startup
+    # cost, not pipeline cost
+    make_neardup_corpus(spark, 5_000, 500, seed=8).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/dedup_warm")
+    for f in neardup_dedup(spark.read.parquet(f"{work}/dedup_warm")):
+        f.count()
+    # best-of-2 (same policy as normalize_1m/minhash: a lone sample
+    # this early in the session measures page-cache + JIT warmth, not
+    # the pipeline — 92s vs 24s observed for identical work)
+    best = float("inf")
+    for _ in range(2):
+        rec0 = _input_records(spark)
+        t0 = time.perf_counter()
+        kept, drop, pairs, _oversize = neardup_dedup(ddf)
+        n_kept, n_drop, n_pairs = kept.count(), drop.count(), pairs.count()
+        best = min(best, time.perf_counter() - t0)
+    dt = best
+    timings["dedup_e2e_160k"] = round(dt, 3)
+    # planted ground truth: exactly n_pair_docs/2 verified pairs, one
+    # drop per pair — a recall or component regression fails the bench
+    assert (n_pairs, n_drop, n_kept) == (
+        n_pair_docs // 2, n_pair_docs // 2, n_dd - n_pair_docs // 2,
+    ), (n_pairs, n_drop, n_kept)
+    # one-pass signature property (status-store scan counter): the
+    # corpus is read ~4x end-to-end (sign, verify text fetch, kept
+    # anti-join, + partial side reads); a SECOND signature pass —
+    # the regression the banded persist exists to prevent — adds a
+    # full extra corpus scan and trips this bound
+    dd_scans = (_input_records(spark) - rec0) / n_dd
+    assert dd_scans < 5.0, f"corpus scanned {dd_scans:.2f}x — signature pass re-ran?"
+    log(
+        f"dedup_e2e_160k: {dt:.3f}s ({n_pairs} pairs verified, "
+        f"{n_drop} dropped, corpus scanned {dd_scans:.2f}x)"
+    )
 
     # untimed warm-up on a 20x smaller table: JIT + codegen for the
     # validation plans out of the timed region (same policy as the

@@ -826,3 +826,40 @@ def test_incremental_neardup_random_batches(spark, tmp_path):
             for r in full_pairs.select("id_a", "id_b").collect()
         )
         assert inc_set == full_set, (trial, cuts)
+
+
+def test_neardup_corpus_planted_ground_truth(spark):
+    """make_neardup_corpus (the dedup_e2e bench input): the pipeline
+    must recover EXACTLY the planted consecutive pairs — count, pair
+    identity, and keep-minimum representative all pinned."""
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+
+    df = make_neardup_corpus(spark, 2_000, 200, seed=7)
+    assert df.count() == 2_000
+    kept, drop, pairs, oversize = D.neardup_dedup(df, "doc_id", "text")
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    want = sorted(
+        (f"dd-{2 * k:012d}", f"dd-{2 * k + 1:012d}") for k in range(100)
+    )
+    assert got == want
+    # keep-first: the even member survives, the odd one is dropped
+    dropped = {r[0] for r in drop.select("doc_id").collect()}
+    assert dropped == {f"dd-{2 * k + 1:012d}" for k in range(100)}
+    assert kept.count() == 1_900 and oversize.count() == 0
+    # deterministic regeneration: same seed -> same texts
+    a = df.orderBy("doc_id").select("text").collect()
+    b = (
+        make_neardup_corpus(spark, 2_000, 200, seed=7)
+        .orderBy("doc_id").select("text").collect()
+    )
+    assert a == b
+
+
+def test_neardup_corpus_rejects_bad_pair_count(spark):
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_neardup_corpus(spark, 100, 7)
+    with pytest.raises(ValueError):
+        make_neardup_corpus(spark, 100, 102)

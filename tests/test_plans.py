@@ -173,3 +173,50 @@ def test_iceberg_bucketed_writer_gate(spark):
     assert "bucket(8, doc_id)" in str(ei.value)
     with _pytest.raises(ValueError):
         write_iceberg_bucketed(df, "t", "doc_id", mode="overwrite")
+
+
+def _input_records(spark) -> int:
+    """Cumulative input records across completed stages (AppStatusStore)
+    — same helper as test_fused_profile; delta/n counts corpus scans."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark._jvm.java.util.Collections.emptyList()
+    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    stages = store.stageList(empty, *args)
+    return sum(stages.apply(i).inputRecords() for i in range(stages.size()))
+
+
+def test_ngram_jaccard_scans_corpus_once_and_prunes(spark, tmp_path):
+    """The verify join semi-join-prunes the corpus to candidate ids
+    BEFORE shingling and (below the broadcast gate) materializes the
+    pruned shingle frame once: total input records for a verify over a
+    stored corpus must be ~ONE corpus scan — the former shape shingled
+    and scanned the corpus on BOTH pair sides (round-5 perf fix)."""
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+
+    path = str(tmp_path / "njp_corpus")
+    n = 4_000
+    make_neardup_corpus(spark, n, 400, seed=7).write.parquet(path)
+    df = spark.read.parquet(path)
+    pairs = spark.createDataFrame(
+        # two planted near-dup pairs + one cross-group (jaccard 0) pair
+        [("dd-000000000000", "dd-000000000001"),
+         ("dd-000000000002", "dd-000000000003"),
+         ("dd-000000000000", "dd-000000000002")],
+        "id_a string, id_b string",
+    )
+    rec0 = _input_records(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard(df, "doc_id", "text", pairs).collect()
+    }
+    delta = _input_records(spark) - rec0
+    assert n <= delta <= int(1.5 * n), delta  # one corpus scan, not two
+    assert set(got) == {
+        ("dd-000000000000", "dd-000000000001"),
+        ("dd-000000000002", "dd-000000000003"),
+        ("dd-000000000000", "dd-000000000002"),
+    }
+    # planted pairs share 40 of 41 words -> trigram jaccard ~0.9
+    assert got[("dd-000000000000", "dd-000000000001")] > 0.8
+    assert got[("dd-000000000002", "dd-000000000003")] > 0.8
+    assert got[("dd-000000000000", "dd-000000000002")] < 0.1
