@@ -12,7 +12,7 @@ signature; nothing else changes.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -94,15 +94,26 @@ def synth_media_payloads(catalog: DataFrame, payload_bytes: int = 64) -> DataFra
 
 
 def extract_features(
-    media: DataFrame, out_dim: int = 16, use_fake_decoder: bool = True
+    media: DataFrame,
+    out_dim: int = 16,
+    use_fake_decoder: bool = True,
+    decoder: "Callable[[bytes], np.ndarray] | None" = None,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Partitioning note for 100 TB: payload columns dominate bytes, so
     the caller should repartition by media_ref range before this to
     balance batch sizes; the UDF itself is embarrassingly parallel.
+
+    ``decoder`` is the real-codec injection slot: pass any callable
+    ``bytes -> ndarray`` (e.g. a Pillow/libvips wrapper once the env
+    has one) and it is cloudpickled to the executors and used in place
+    of the fake/raising defaults — the Spark plumbing (schema, Arrow
+    batch shape, failure routing) is identical on every path, which a
+    test pins by injecting a working decoder.
     """
-    decoder = _decode_image_fake if use_fake_decoder else _decode_image_real
+    if decoder is None:
+        decoder = _decode_image_fake if use_fake_decoder else _decode_image_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -143,26 +154,34 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(
     media: DataFrame, target_w: int = 224, target_h: int = 224,
     use_fake_decoder: bool = True,
+    decoder: "Callable[[bytes], np.ndarray] | None" = None,
 ) -> DataFrame:
     """Batch image resize via mapInPandas — the Spark plumbing (schema,
     Arrow batch shape, metadata rewrite) is real; the pixel work is the
     stubbed decoder slot like extract_features. The fake path re-emits
     a deterministic payload digest sized to the target so downstream
     batch-shape tests are stable; the real slot raises
-    DecodeUnavailable until a codec is wired in."""
+    DecodeUnavailable until a codec is wired via ``decoder`` (same
+    injection contract as extract_features)."""
     import hashlib
+
+    real_decode = decoder or _decode_image_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out_payload, ok = [], []
             for payload in b["payload"]:
+                if payload is None:
+                    # missing media fails before any decoder runs (an
+                    # injected codec need not handle None)
+                    out_payload.append(None)
+                    ok.append(False)
+                    continue
                 try:
-                    if not use_fake_decoder:
-                        _decode_image_real(payload)
-                    if payload is None:
-                        out_payload.append(None)
-                        ok.append(False)
-                        continue
+                    # an injected codec is always exercised; otherwise
+                    # the raising real slot gates the non-fake path
+                    if decoder is not None or not use_fake_decoder:
+                        real_decode(payload)
                     digest = hashlib.md5(bytes(payload)).digest()
                     n = max((target_w * target_h) // 64, len(digest))
                     out_payload.append((digest * (n // len(digest) + 1))[:n])

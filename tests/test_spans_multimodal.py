@@ -144,3 +144,62 @@ def test_span_fingerprint_distinguishes_null_field_patterns(spark):
     fa = a.select(SP.span_fingerprint().alias("f")).collect()[0]["f"]
     fb = b.select(SP.span_fingerprint().alias("f")).collect()[0]["f"]
     assert fa != fb
+
+
+def test_real_decoder_slot_activates_when_codec_injected(spark):
+    """Directive: prove the real-decoder slot is live plumbing, not
+    dead code — inject a working bytes->ndarray codec and the SAME
+    mapInPandas path must flip from all-failed to all-decoded, with
+    features recomputable driver-side from the payload bytes."""
+
+    def _toy_decoder(payload):
+        # stand-in real codec; NESTED so cloudpickle ships it by value
+        # (a test-module-level function pickles by reference, which
+        # executor workers cannot import)
+        import numpy as _np
+
+        return _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(
+            _np.float32
+        )
+
+    cat = make_media_catalog(spark, 60)
+    media = MM.synth_media_payloads(cat, payload_bytes=32)
+    # without a codec the real path fails closed (existing contract)
+    gated = MM.extract_features(media, out_dim=8, use_fake_decoder=False)
+    assert all(not r["decode_ok"] for r in gated.collect())
+    # with a codec injected, the identical plumbing decodes everything
+    live = MM.extract_features(
+        media, out_dim=8, use_fake_decoder=False, decoder=_toy_decoder
+    ).collect()
+    assert len(live) == 60 and all(r["decode_ok"] for r in live)
+    payloads = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+    for r in live:
+        want = [float(x) for x in payloads[r["media_ref"]][:8]]
+        assert r["feature"] == want
+    # resize: same injection contract
+    resized = MM.resize_images(
+        media, 32, 32, use_fake_decoder=False, decoder=_toy_decoder
+    ).collect()
+    assert all(r["resize_ok"] for r in resized)
+
+
+def test_injected_decoder_skips_null_payloads(spark):
+    """NULL payloads must fail closed BEFORE the injected codec runs —
+    a real codec need not tolerate None."""
+    media = spark.createDataFrame(
+        [("m-1", b"\x01\x02\x03\x04"), ("m-2", None)],
+        "media_ref string, payload binary",
+    )
+
+    def touchy(payload):
+        import numpy as _np
+
+        assert payload is not None, "decoder saw a NULL payload"
+        return _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(_np.float32)
+
+    feats = {r["media_ref"]: r for r in MM.extract_features(
+        media, out_dim=4, decoder=touchy).collect()}
+    assert feats["m-1"]["decode_ok"] and not feats["m-2"]["decode_ok"]
+    rs = {r["media_ref"]: r for r in MM.resize_images(
+        media, 16, 16, decoder=touchy).collect()}
+    assert rs["m-1"]["resize_ok"] and not rs["m-2"]["resize_ok"]
