@@ -206,22 +206,36 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     dt = best
     timings["dedup_e2e_160k"] = round(dt, 3)
-    # planted ground truth: exactly n_pair_docs/2 verified pairs, one
-    # drop per pair — a recall or component regression fails the bench
-    assert (n_pairs, n_drop, n_kept) == (
-        n_pair_docs // 2, n_pair_docs // 2, n_dd - n_pair_docs // 2,
-    ), (n_pairs, n_drop, n_kept)
-    # one-pass signature property (status-store scan counter): the
-    # corpus is read ~4x end-to-end (sign, verify text fetch, kept
-    # anti-join, + partial side reads); a SECOND signature pass —
-    # the regression the banded persist exists to prevent — adds a
-    # full extra corpus scan and trips this bound
     dd_scans = (_input_records(spark) - rec0) / n_dd
-    assert dd_scans < 5.0, f"corpus scanned {dd_scans:.2f}x — signature pass re-ran?"
-    log(
-        f"dedup_e2e_160k: {dt:.3f}s ({n_pairs} pairs verified, "
-        f"{n_drop} dropped, corpus scanned {dd_scans:.2f}x)"
-    )
+    dedup_error = None
+    # planted ground truth: exactly n_pair_docs/2 verified pairs, one
+    # drop per pair — a recall or component regression fails the gate.
+    # One-pass signature property (status-store scan counter): the
+    # corpus is read ~4x end-to-end (sign, verify text fetch, kept
+    # anti-join, + partial side reads); a SECOND signature pass — the
+    # regression the banded persist exists to prevent — adds a full
+    # extra corpus scan and trips the 5x bound. Recorded as a visible
+    # JSON error rather than a crash so one tripped gate cannot cost
+    # the round its whole BENCH file.
+    if (n_pairs, n_drop, n_kept) != (
+        n_pair_docs // 2, n_pair_docs // 2, n_dd - n_pair_docs // 2,
+    ):
+        dedup_error = (
+            f"planted-truth mismatch: pairs={n_pairs} drop={n_drop} "
+            f"kept={n_kept} (want {n_pair_docs // 2}/"
+            f"{n_pair_docs // 2}/{n_dd - n_pair_docs // 2})"
+        )
+    elif dd_scans >= 5.0:
+        dedup_error = (
+            f"corpus scanned {dd_scans:.2f}x (>=5) — signature pass re-ran?"
+        )
+    if dedup_error:
+        log(f"dedup_e2e_160k GATE FAILED: {dedup_error}")
+    else:
+        log(
+            f"dedup_e2e_160k: {dt:.3f}s ({n_pairs} pairs verified, "
+            f"{n_drop} dropped, corpus scanned {dd_scans:.2f}x)"
+        )
 
     # untimed warm-up on a 20x smaller table: JIT + codegen for the
     # validation plans out of the timed region (same policy as the
@@ -331,6 +345,8 @@ def main() -> None:
                 "e2e_trials_sec": [round(t, 3) for t, _ in trials],
                 "incremental_delta_sec": round(inc_dt, 3),
                 "incremental_delta_docs": delta_docs,
+                "dedup_corpus_scans": round(dd_scans, 2),
+                **({"dedup_e2e_error": dedup_error} if dedup_error else {}),
                 "n_docs": n_docs,
                 "cpus": cpus,
             }
