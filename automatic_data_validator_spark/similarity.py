@@ -409,3 +409,80 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def brute_force_topk_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, vectorized: same contract and ranking as
+    ``brute_force_topk`` (query side small by construction; ties break
+    sim desc, neighbor_id asc) but the scoring is ONE float64 BLAS
+    matmul per Arrow batch instead of an interpreted aggregate()/
+    zip_with() HOF pair per (vector, query) — the 20x-interpreted-HOF
+    cost the expression baseline pays per element.
+
+    Scale shape for 10^12 vectors: the L2-normalized query matrix
+    ships inside the UDF closure (small side), each batch emits only
+    its LOCAL top-k per query (<= k x |queries| rows per batch), so
+    the window that picks the global top-k shuffles a k-bounded
+    candidate set, never the similarity matrix. Rows with NULL or
+    dimension-mismatched embeddings are dropped here (the expression
+    baseline carries them with NULL sims that sort last — same top-k
+    whenever >= k valid rows exist; NaN-norm rows differ, see test).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
+        f"neighbor_id {vectors.schema[id_col].dataType.simpleString()}, "
+        "cosine_sim double"
+    )
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return vectors.sparkSession.createDataFrame([], schema)
+    q_ids = [r[0] for r in q_rows]
+    qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    dim = qm.shape[1]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            embs = b[vec_col]
+            mask = np.array(
+                [e is not None and len(e) == dim for e in embs], dtype=bool
+            )
+            if not mask.any():
+                continue
+            ids = ids[mask]
+            m = np.asarray([list(e) for e in embs[mask]], dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # (batch, queries) in one BLAS call
+            top = min(k, sims.shape[0])
+            # per-batch partial top-k with the global tie-break:
+            # lexsort is stable -> sort by id asc then -sim
+            for j, qid in enumerate(q_ids):
+                order = np.lexsort((ids, -sims[:, j]))[:top]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[order],
+                        "cosine_sim": sims[order, j],
+                    }
+                )
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

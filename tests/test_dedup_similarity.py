@@ -863,3 +863,53 @@ def test_neardup_corpus_rejects_bad_pair_count(spark):
         make_neardup_corpus(spark, 100, 7)
     with pytest.raises(ValueError):
         make_neardup_corpus(spark, 100, 102)
+
+
+def test_brute_force_topk_arrow_equals_expression(spark):
+    """The BLAS-batched exact scorer must return the SAME neighbors in
+    the SAME ranks as the expression baseline (sims agree to 1e-9),
+    and only k-bounded partials may leave each batch (scale contract
+    is structural: per-batch local top-k before the window)."""
+    rng = np.random.RandomState(11)
+    n, q, dim, k = 600, 7, 32, 9
+    vecs = [("v-%04d" % i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    qs = [("q-%d" % i, [float(x) for x in rng.randn(dim)]) for i in range(q)]
+    vdf = spark.createDataFrame(vecs, "vec_id string, embedding array<double>").repartition(8)
+    qdf = spark.createDataFrame(qs, "query_id string, embedding array<double>")
+
+    base = S.brute_force_topk(vdf, qdf, k=k)
+    fast = S.brute_force_topk_arrow(vdf, qdf, k=k)
+
+    def keyed(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["cosine_sim"])
+            )
+        return {
+            qid: sorted(rows, key=lambda t: (-t[1], t[0]))
+            for qid, rows in out.items()
+        }
+
+    b, f = keyed(base), keyed(fast)
+    assert set(b) == set(f) and all(len(v) == k for v in f.values())
+    for qid in b:
+        assert [x[0] for x in b[qid]] == [x[0] for x in f[qid]]
+        for (_, sb), (_, sf) in zip(b[qid], f[qid]):
+            assert abs(sb - sf) < 1e-9
+    # NULL / wrong-dim embeddings are dropped, not scored
+    dirty = spark.createDataFrame(
+        [("bad-null", None), ("bad-dim", [1.0, 2.0])],
+        "vec_id string, embedding array<double>",
+    )
+    f2 = S.brute_force_topk_arrow(vdf.unionByName(dirty), qdf, k=k)
+    bad = f2.filter(F.col("neighbor_id").startswith("bad-")).count()
+    assert bad == 0 and f2.count() == q * k
+
+
+def test_brute_force_topk_arrow_empty_queries(spark):
+    vdf = spark.createDataFrame(
+        [("v-1", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    qdf = spark.createDataFrame([], "query_id string, embedding array<double>")
+    assert S.brute_force_topk_arrow(vdf, qdf, k=3).count() == 0
