@@ -1004,13 +1004,17 @@ def ngram_jaccard(
     is scanned ONCE for both sides; above it, each side scans the
     corpus but shingles only candidate rows.
     """
+    # materialize the candidate plan EXACTLY ONCE before anything else
+    # (it is referenced 4x below: count, both cand_ids branches, the
+    # pair join) — candidate plans are typically LSH expansions over a
+    # Python-UDF signature chain, and above the broadcast gate the old
+    # shape re-executed that plan per reference. The checkpoint is a
+    # 3-narrow-column frame, orders of magnitude smaller than the
+    # corpus even at the 10^12-doc extreme; blocks are released by the
+    # context cleaner on GC.
+    candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
     n_pairs = candidate_pairs.count()
     small = n_pairs <= broadcast_limit
-    if small:
-        # bounded by the count gate; also keeps the (possibly
-        # expensive) candidate plan from re-running for the id list
-        # below — blocks are released by the context cleaner on GC
-        candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
     pairs = (
         F.broadcast(candidate_pairs)
         if small
@@ -1464,24 +1468,16 @@ def incremental_neardup(
             )
             cand = cand.unionByName(cross).distinct()
 
-        # verify: fetch ONLY candidate ids' texts (column-pruned,
-        # count-gated broadcast semi join against the corpus)
+        # verify: ngram_jaccard itself semi-join-prunes the corpus to
+        # the candidate ids before shingling (round-5), so only their
+        # texts are fetched — the former caller-side ids/semi-join
+        # block duplicated exactly that and pruned an already-pruned
+        # frame
         cand = cand.localCheckpoint(eager=True)
-        ids = (
-            cand.select(F.col("id_a").alias("_cid"))
-            .unionByName(cand.select(F.col("id_b").alias("_cid")))
-            .distinct()
-        )
-        n_ids = ids.count()
-        id_side = (
-            F.broadcast(ids) if n_ids <= broadcast_limit else ids.hint("merge")
-        )
-        texts = corpus.select(
-            F.col(id_col), F.col(text_col)
-        ).join(id_side, F.col(id_col) == F.col("_cid"), "left_semi")
         verified = (
             ngram_jaccard(
-                texts, id_col, text_col, cand, shingle_k=shingle_k,
+                corpus.select(F.col(id_col), F.col(text_col)),
+                id_col, text_col, cand, shingle_k=shingle_k,
                 broadcast_limit=broadcast_limit,
             )
             .filter(F.col("jaccard") >= jaccard_threshold)

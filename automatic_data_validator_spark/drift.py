@@ -308,7 +308,15 @@ def _grouped_sketch_partials(
     def build(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         partials: dict[tuple[str, str], TDigest] = {}
         for batch in iterator:
-            keys = batch[group_col].astype(str).fillna("null")
+            # group keys are canonicalized SPARK-side (string cast,
+            # NULL -> 'null') before this UDF: stringifying per batch
+            # in pandas made keys dtype-dependent — a numeric cohort
+            # column arrives as float64 in batches containing a NULL
+            # ('1.0') but int64 in null-free batches ('1'), splitting
+            # ONE cohort into two keys; and astype(str) turned NULL
+            # into 'None', never the documented 'null' (fillna after
+            # astype was dead code)
+            keys = batch[group_col]
             for g, sub in batch.groupby(keys, sort=False):
                 for c in columns:
                     vals = pd.to_numeric(sub[c], errors="coerce").to_numpy(
@@ -338,7 +346,12 @@ def _grouped_sketch_partials(
         )
 
     return (
-        df.select(group_col, *columns)
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("null")).alias(
+                group_col
+            ),
+            *columns,
+        )
         .mapInPandas(build, _GROUPED_SKETCH_SCHEMA)
         .withColumn(
             "_b", F.pmod(F.spark_partition_id(), F.lit(int(combine_buckets)))
@@ -416,20 +429,31 @@ def grouped_drift_report_columns(
     grouped_drift_report / drift_report_sketches (round-4 review): a
     group present on exactly one side fires drifted=true for every
     column (reason missing_in_current/baseline — a vanished cohort IS
-    drift), and an empty-on-exactly-one-side sketch fires
-    reason=empty_sketch rather than comparing NaN against thresholds."""
+    drift), a (group, column) sketch present on exactly one side fires
+    the same reasons per pair, and an empty-on-exactly-one-side sketch
+    fires reason=empty_sketch rather than comparing NaN against
+    thresholds."""
     out = []
     for g in sorted(set(cur) | set(baseline)):
         if g not in cur or g not in baseline:
-            present = cur.get(g) or baseline.get(g) or {}
-            cols = columns or sorted(present)
+            # membership test, not falsy-or: a group present with an
+            # EMPTY column dict must still fire (a vanished/appeared
+            # cohort IS drift), and when explicit columns are asked
+            # for, every one is unmonitorable for this group — emit
+            # them all rather than only those the present side happens
+            # to carry. With no column info at all, a single sentinel
+            # row keeps the cohort from vanishing silently.
+            present = cur[g] if g in cur else baseline[g]
+            cols = columns or sorted(present) or ["__any__"]
             reason = (
                 "missing_in_current" if g not in cur else "missing_in_baseline"
             )
             for c in cols:
-                if c not in present:
-                    continue
-                n_cur = int(cur[g][c].total_weight) if g in cur else 0
+                n_cur = (
+                    int(cur[g][c].total_weight)
+                    if g in cur and c in cur[g]
+                    else 0
+                )
                 out.append(
                     {"group": g, "column": c, "ks": float("nan"),
                      "psi": float("nan"), "drifted": True,
@@ -437,8 +461,29 @@ def grouped_drift_report_columns(
                 )
             continue
         cols = columns or sorted(set(cur[g]) & set(baseline[g]))
+        # a (group, column) hole on exactly one side is unmonitorable
+        # and must surface as drift, not silence: the validate phase
+        # checks requested columns against the UNION of baseline
+        # columns across groups, so a single group missing one column
+        # would otherwise emit no verdict at all for that pair
+        # (drift_report_sketches skips one-sided columns)
+        have = [c for c in cols if c in cur[g] and c in baseline[g]]
+        for c in cols:
+            if c in cur[g] and c in baseline[g]:
+                continue
+            out.append(
+                {"group": g, "column": c, "ks": float("nan"),
+                 "psi": float("nan"), "drifted": True,
+                 "reason": (
+                     "missing_in_current" if c not in cur[g]
+                     else "missing_in_baseline"
+                 ),
+                 "n_current": (
+                     int(cur[g][c].total_weight) if c in cur[g] else 0
+                 )}
+            )
         for r in drift_report_sketches(
-            cur[g], baseline[g], cols, ks_threshold, psi_threshold
+            cur[g], baseline[g], have, ks_threshold, psi_threshold
         ):
             out.append({"group": g, **r})
     return out

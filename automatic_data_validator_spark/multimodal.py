@@ -127,10 +127,20 @@ def extract_features(
                     ok.append(False)
                     continue
                 try:
-                    vec = decoder(payload)
-                    feats.append([float(x) for x in vec[:out_dim]])
+                    vec = [float(x) for x in decoder(payload)[:out_dim]]
+                    # zero-pad short outputs to exactly out_dim (the
+                    # fake decoder pads internally, an injected codec
+                    # need not): consumers index element_at(feature,
+                    # out_dim) and ANSI Spark throws on short arrays
+                    vec.extend(0.0 for _ in range(out_dim - len(vec)))
+                    feats.append(vec)
                     ok.append(True)
-                except DecodeUnavailable:
+                except Exception:
+                    # ANY decoder failure is a per-row decode failure,
+                    # not a job failure: an injected real codec raises
+                    # its own exception types (not DecodeUnavailable)
+                    # on corrupt payloads, and one bad byte string
+                    # must not abort a 10^12-doc pass
                     feats.append(None)
                     ok.append(False)
             yield pd.DataFrame(
@@ -179,14 +189,17 @@ def resize_images(
                     continue
                 try:
                     # an injected codec is always exercised; otherwise
-                    # the raising real slot gates the non-fake path
+                    # the raising real slot gates the non-fake path.
+                    # ANY codec failure routes to resize_ok=false (an
+                    # injected real codec raises its own exception
+                    # types on corrupt payloads, not DecodeUnavailable)
                     if decoder is not None or not use_fake_decoder:
                         real_decode(payload)
                     digest = hashlib.md5(bytes(payload)).digest()
                     n = max((target_w * target_h) // 64, len(digest))
                     out_payload.append((digest * (n // len(digest) + 1))[:n])
                     ok.append(True)
-                except DecodeUnavailable:
+                except Exception:
                     out_payload.append(None)
                     ok.append(False)
             yield pd.DataFrame(

@@ -444,11 +444,17 @@ def brute_force_topk_arrow(
         "cosine_sim double"
     )
     q_rows = queries.select(query_id_col, vec_col).collect()
+    # the drop-dirty-rows contract applies to BOTH sides: a NULL or
+    # dimension-mismatched QUERY embedding would otherwise crash the
+    # driver-side matrix build (the expression baseline carries such
+    # queries with all-NULL sims — k unrankable rows; here they are
+    # dropped, same policy as dirty vectors)
+    dim = next((len(r[1]) for r in q_rows if r[1] is not None), None)
+    q_rows = [r for r in q_rows if r[1] is not None and len(r[1]) == dim]
     if not q_rows:
         return vectors.sparkSession.createDataFrame([], schema)
     q_ids = [r[0] for r in q_rows]
     qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-    dim = qm.shape[1]
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
     def score(batches):

@@ -56,18 +56,6 @@ def host_probe(cores: int) -> float:
     return float(out.stdout.strip())
 
 
-def _input_records(spark) -> int:
-    """Cumulative records read from input sources across completed
-    stages (AppStatusStore) — delta / corpus rows counts how many
-    times an input was scanned (same helper tests/test_fused_profile
-    and tests/test_incremental pin plans with)."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    empty = spark._jvm.java.util.Collections.emptyList()
-    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    stages = store.stageList(empty, *args)
-    return sum(stages.apply(i).inputRecords() for i in range(stages.size()))
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -77,6 +65,9 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    from automatic_data_validator_spark.introspect import (
+        input_records as _input_records,
+    )
     from automatic_data_validator_spark.session import get_spark
     from automatic_data_validator_spark.synth import make_documents, make_media_catalog
     from automatic_data_validator_spark.validate import run_validation

@@ -577,3 +577,55 @@ def test_grouped_drift_report_degenerate_groups(spark):
     assert rep["new"]["drifted"] is True and rep["new"]["reason"] == "missing_in_baseline"
     assert rep["nulled"]["drifted"] is True and rep["nulled"]["reason"] == "empty_sketch"
     assert all("reason" in r for r in rep.values())
+
+
+def test_grouped_sketch_numeric_group_keys_are_canonical(spark):
+    """Round-5 review fix: group keys are canonicalized Spark-side.
+    A NUMERIC cohort column with NULL rows used to stringify
+    batch-dependently in pandas (int64 batches -> '1', float64 batches
+    containing a NaN -> '1.0'), splitting one cohort into two keys;
+    NULL groups became 'None' instead of the documented 'null'."""
+    from automatic_data_validator_spark.drift import sketch_columns_by_group
+
+    rows = [(1, float(i)) for i in range(50)]
+    rows += [(None, 100.0 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "cohort int, v double").repartition(6)
+    sk = sketch_columns_by_group(df, "cohort", ["v"])
+    assert set(sk) == {"1", "null"}, set(sk)
+    assert sk["1"]["v"].total_weight == 50
+    assert sk["null"]["v"].total_weight == 10
+
+
+def test_grouped_drift_per_pair_holes_fire_not_skip(spark):
+    """Round-5 review fix: a (group, column) sketch present on exactly
+    one side fires missing_in_* drift instead of emitting nothing, an
+    empty column dict on the present side of a one-sided group emits a
+    sentinel row, and requested columns are reported even when the
+    present side lacks them."""
+    from automatic_data_validator_spark.drift import (
+        TDigest, grouped_drift_report_columns)
+
+    d = TDigest.from_values(np.arange(100, dtype=np.float64), 100.0)
+    # g1 on both sides but baseline lacks column 'v2'
+    cur = {"g1": {"v1": d, "v2": d}, "g2": {}}
+    baseline = {"g1": {"v1": d}}
+    rep = grouped_drift_report_columns(cur, baseline, ["v1", "v2"])
+    by = {(r["group"], r["column"]): r for r in rep}
+    assert not by[("g1", "v1")]["drifted"]
+    assert by[("g1", "v2")]["drifted"]
+    assert by[("g1", "v2")]["reason"] == "missing_in_baseline"
+    # g2 present with an EMPTY dict and absent from baseline: every
+    # requested column fires (falsy-or would have dropped the group)
+    assert by[("g2", "v1")]["reason"] == "missing_in_baseline"
+    assert by[("g2", "v2")]["drifted"] and by[("g2", "v2")]["n_current"] == 0
+    # hole on the CURRENT side -> missing_in_current
+    rep2 = grouped_drift_report_columns(
+        {"g1": {"v1": d}}, {"g1": {"v1": d, "v2": d}}, ["v1", "v2"]
+    )
+    by2 = {(r["group"], r["column"]): r for r in rep2}
+    assert by2[("g1", "v2")]["reason"] == "missing_in_current"
+    # no column info at all: sentinel row keeps the cohort visible
+    rep3 = grouped_drift_report_columns({"gx": {}}, {})
+    assert [(r["group"], r["column"], r["reason"]) for r in rep3] == [
+        ("gx", "__any__", "missing_in_baseline")
+    ]

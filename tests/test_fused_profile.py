@@ -136,15 +136,9 @@ def test_run_validation_fused_metrics_match_classic(spark, docs, catalog):
     )
 
 
-def _input_records(spark) -> int:
-    """Cumulative records read from input sources across all completed
-    stages (AppStatusStore) — delta/n_rows counts how many times the
-    input was scanned."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    empty = spark._jvm.java.util.Collections.emptyList()
-    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    stages = store.stageList(empty, *args)
-    return sum(stages.apply(i).inputRecords() for i in range(stages.size()))
+from automatic_data_validator_spark.introspect import (
+    input_records as _input_records,
+)
 
 
 @pytest.fixture()

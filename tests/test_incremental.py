@@ -324,7 +324,9 @@ def test_incremental_reads_delta_not_corpus(spark, tmp_path):
     (narrow) key index — NOT the ~4 full-corpus passes a full
     revalidation costs. AppStatusStore input-records delta, same
     technique as test_fused_run_cuts_input_scans."""
-    from tests.test_fused_profile import _input_records
+    from automatic_data_validator_spark.introspect import (
+        input_records as _input_records,
+    )
 
     corpus = str(tmp_path / "docs")
     state = str(tmp_path / "state")

@@ -175,14 +175,9 @@ def test_iceberg_bucketed_writer_gate(spark):
         write_iceberg_bucketed(df, "t", "doc_id", mode="overwrite")
 
 
-def _input_records(spark) -> int:
-    """Cumulative input records across completed stages (AppStatusStore)
-    — same helper as test_fused_profile; delta/n counts corpus scans."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    empty = spark._jvm.java.util.Collections.emptyList()
-    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    stages = store.stageList(empty, *args)
-    return sum(stages.apply(i).inputRecords() for i in range(stages.size()))
+from automatic_data_validator_spark.introspect import (
+    input_records as _input_records,
+)
 
 
 def test_ngram_jaccard_scans_corpus_once_and_prunes(spark, tmp_path):

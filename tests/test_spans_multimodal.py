@@ -203,3 +203,37 @@ def test_injected_decoder_skips_null_payloads(spark):
     rs = {r["media_ref"]: r for r in MM.resize_images(
         media, 16, 16, decoder=touchy).collect()}
     assert rs["m-1"]["resize_ok"] and not rs["m-2"]["resize_ok"]
+
+
+def test_injected_decoder_failures_route_per_row(spark):
+    """Round-5 review fix: a real codec raises its OWN exception types
+    on corrupt payloads (not DecodeUnavailable) — one bad payload must
+    land as decode_ok/resize_ok=False, never abort the job; and a
+    codec returning FEWER than out_dim elements is zero-padded like
+    the fake path (ANSI element_at(feature, out_dim) must stay safe)."""
+    media = spark.createDataFrame(
+        [("m-ok", b"\x05\x06\x07\x08\x09\x0a"),
+         ("m-corrupt", b"\xff"),
+         ("m-short", b"\x01\x02")],
+        "media_ref string, payload binary",
+    )
+
+    def picky(payload):
+        import numpy as _np
+
+        b = bytes(payload)
+        if len(b) == 1:
+            raise ValueError("truncated image")  # a PIL-style error
+        return _np.frombuffer(b, dtype=_np.uint8).astype(_np.float32)
+
+    rows = {r["media_ref"]: r for r in MM.extract_features(
+        media, out_dim=4, decoder=picky).collect()}
+    assert rows["m-ok"]["decode_ok"] and rows["m-ok"]["feature"] == [5.0, 6.0, 7.0, 8.0]
+    assert not rows["m-corrupt"]["decode_ok"] and rows["m-corrupt"]["feature"] is None
+    # 2-byte payload decodes to 2 elements -> padded to out_dim=4
+    assert rows["m-short"]["decode_ok"]
+    assert rows["m-short"]["feature"] == [1.0, 2.0, 0.0, 0.0]
+    rs = {r["media_ref"]: r for r in MM.resize_images(
+        media, 16, 16, decoder=picky).collect()}
+    assert rs["m-ok"]["resize_ok"] and rs["m-short"]["resize_ok"]
+    assert not rs["m-corrupt"]["resize_ok"]
