@@ -224,3 +224,80 @@ def drift_stream(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def neardup_stream(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    state_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    trigger_seconds: int | None = None,
+    **neardup_params,
+):
+    """Stream-ingest near-duplicate detection — the sixth stream check
+    family: each micro-batch is persisted into ``corpus_dir``
+    (partitioned by batch_id, dynamic-overwrite) and handed to
+    ``dedup.incremental_neardup``, which MinHash-signs ONLY the
+    batch's files and finds candidates against the persisted
+    (_id, band, bucket) store — new-new pairs inside the batch plus
+    new-old pairs against everything ingested before, without ever
+    re-signing the corpus (the LSH co-bucket argument in
+    incremental_neardup's docstring). Verified pairs for the increment
+    land in ``{output_dir}/pairs`` partitioned by batch_id; combined
+    oversize buckets in ``{output_dir}/oversize_buckets``.
+
+    Replay semantics: the corpus write is idempotent (a replayed batch
+    rewrites ITS partition), but the rewritten part-files get fresh
+    names, so incremental_neardup re-signs the batch and its pairs can
+    appear under two increments in the pair STORE. That duplication is
+    bounded (one replayed batch) and harmless downstream: candidate
+    sets are distinct-ed, and connected-components/keep-representative
+    derivation is duplicate-edge-tolerant — the drop list is unchanged.
+    ``neardup_params`` pass through (num_hashes, bands, shingle_k,
+    max_bucket_size, signature_impl, broadcast_limit); LSH parameters
+    are pinned in the state manifest, so changing them mid-stream
+    raises rather than silently mixing signature spaces.
+    """
+    from .dedup import incremental_neardup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        (
+            batch_df.select(id_col, text_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_dir)
+        )
+        res = incremental_neardup(
+            spark, corpus_dir, state_dir,
+            id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold, **neardup_params,
+        )
+        for df, name in (
+            (res.new_pairs, "pairs"),
+            (res.oversize_buckets, "oversize_buckets"),
+        ):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{output_dir}/{name}")
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

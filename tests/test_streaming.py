@@ -210,3 +210,54 @@ def test_drift_stream_flags_shifted_batch(spark, tmp_path):
     # reason + n_current ride through (r5): ordinary stats drift must
     # stay distinguishable from an empty_sketch data-loss batch
     assert rows[1]["reason"] == "stats" and rows[1]["n_current"] == 5_000
+
+
+def test_neardup_stream_cross_batch_pairs(spark, tmp_path):
+    """Stream-ingest near-dup (sixth stream family): a pair planted
+    INSIDE batch 1 is found at batch 1; a doc arriving in batch 2 that
+    near-matches a batch-1 doc is found at batch 2 via the persisted
+    banded store — the corpus is never re-signed (scan budget pinned
+    batch-side by tests/test_incremental-style store reuse)."""
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+    from automatic_data_validator_spark.streaming import neardup_stream
+
+    # batch 1: 200 docs, ids dd-0/dd-1 are a planted near-dup pair
+    batch1 = make_neardup_corpus(spark, 200, 2, seed=7)
+    # batch 2: a near-copy of dd-000000000002 (batch-1 doc, jaccard ~1
+    # minus one word) + 50 unrelated docs from a disjoint seed stream
+    b1_rows = {r["doc_id"]: r["text"] for r in batch1.collect()}
+    near_old = b1_rows["dd-000000000002"].rsplit(" ", 1)[0] + " ZZNEW"
+    unrelated = make_neardup_corpus(spark, 50, 0, seed=99).select(
+        F.concat(F.lit("n2-"), "doc_id").alias("doc_id"), "text"
+    )
+    batch2 = unrelated.unionByName(
+        spark.createDataFrame([("zz-newdoc", near_old)], "doc_id string, text string")
+    )
+
+    src = str(tmp_path / "in")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q = neardup_stream(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "state"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = spark.read.parquet(str(tmp_path / "out") + "/pairs")
+    got = {
+        (r["id_a"], r["id_b"]): r["batch_id"] for r in pairs.collect()
+    }
+    # in-batch pair at batch 0, cross-batch (new-old) pair at batch 1
+    assert got == {
+        ("dd-000000000000", "dd-000000000001"): 0,
+        ("dd-000000000002", "zz-newdoc"): 1,
+    }, got
+    # the persisted corpus holds both batches, partitioned by batch_id
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert corpus.count() == 251
+    assert set(r["batch_id"] for r in corpus.select("batch_id").distinct().collect()) == {0, 1}
