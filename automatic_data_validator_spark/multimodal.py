@@ -5,9 +5,22 @@ The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
 signatures) is real and tested; the actual codec work is stubbed —
 the container has no image/audio libraries — behind
 ``DecodeUnavailable`` or a deterministic fake so tests can assert the
-pipeline shape end-to-end. A production deployment swaps
-``_decode_image_fake`` for a Pillow/torchvision call with the SAME
-signature; nothing else changes.
+pipeline shape end-to-end. A production deployment passes
+``decoder=<bytes -> ndarray>`` (any Pillow/torchvision wrapper) to
+extract_features/resize_images; nothing else changes.
+
+Fake/real parity contract (q52): the driver-adjudicated oracle pins
+the FAKE path byte-exactly — feature[i] == payload_byte[i] / 255 for
+the first out_dim bytes, NULL payloads fail closed — which is a
+statement about the PLUMBING (Arrow batch shape, padding, failure
+routing, schema), not the pixels. A real codec produces different
+feature VALUES through the identical plumbing; what carries over
+verbatim is: decode_ok routing (any codec exception = per-row
+failure), zero-padding to out_dim, NULL-payload pre-filtering, and
+determinism for a deterministic codec. The injection tests
+(test_real_decoder_slot_activates_when_codec_injected) prove the real
+slot is live by wiring a working codec and recomputing its features
+driver-side.
 """
 
 from __future__ import annotations
