@@ -164,6 +164,7 @@ def drift_stream(
     ks_threshold: float = 0.1,
     psi_threshold: float = 0.2,
     trigger_seconds: int | None = None,
+    group_by: "str | None" = None,
 ):
     """Per-micro-batch distribution drift vs a PERSISTED baseline
     snapshot — the fifth check family for streams (after rules,
@@ -179,13 +180,59 @@ def drift_stream(
     per column lands in ``{output_dir}/drift`` partitioned by
     batch_id with dynamic-overwrite (idempotent on replay, like
     validate_stream). Returns the StreamingQuery.
+
+    ``group_by``: COHORT drift per micro-batch — the baseline must be
+    a ``drift.save_grouped_baseline`` file and each batch is sketched
+    per (group, column) (the batch-side drift_group_by phase's
+    semantics, streamed): one row per (group, column) lands in
+    ``{output_dir}/drift_grouped`` instead, so a drifted cohort
+    surfaces even when the batch's table-level mixture is stable, and
+    a cohort missing from the batch fires reason=missing_in_current
+    (a vanished cohort IS drift).
     """
-    from .drift import drift_report, load_baseline
+    from .drift import (
+        drift_report,
+        grouped_drift_report_columns,
+        load_baseline,
+        load_grouped_baseline,
+        sketch_columns_by_group,
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if group_by is not None:
+            baseline = load_grouped_baseline(spark, baseline_path)
+            cols = columns or sorted(
+                {c for g in baseline.values() for c in g}
+            )
+            cur = sketch_columns_by_group(batch_df, group_by, cols)
+            report = grouped_drift_report_columns(
+                cur, baseline, cols,
+                ks_threshold=ks_threshold, psi_threshold=psi_threshold,
+            )
+            rows = [
+                (r["group"], r["column"], float(r["ks"]), float(r["psi"]),
+                 bool(r["drifted"]), str(r.get("reason") or ""),
+                 int(r.get("n_current") or 0))
+                for r in report
+            ]
+            if not rows:
+                return
+            (
+                spark.createDataFrame(
+                    rows,
+                    "group string, column string, ks double, psi double, "
+                    "drifted boolean, reason string, n_current long",
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{output_dir}/drift_grouped")
+            )
+            return
         baseline = load_baseline(spark, baseline_path)
         report = drift_report(
             batch_df, baseline, columns,

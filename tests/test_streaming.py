@@ -261,3 +261,54 @@ def test_neardup_stream_cross_batch_pairs(spark, tmp_path):
     corpus = spark.read.parquet(str(tmp_path / "corpus"))
     assert corpus.count() == 251
     assert set(r["batch_id"] for r in corpus.select("batch_id").distinct().collect()) == {0, 1}
+
+
+def test_drift_stream_grouped_cohorts(spark, tmp_path):
+    """Cohort drift per micro-batch (group_by=): a shifted cohort fires
+    while the other cohort in the SAME batch stays green — and a
+    cohort missing from a batch fires missing_in_current."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_data_validator_spark.drift import (
+        TDigest, save_grouped_baseline)
+    from automatic_data_validator_spark.streaming import drift_stream
+
+    rng = np.random.RandomState(7)
+    save_grouped_baseline(
+        {"A": {"x": TDigest.from_values(rng.normal(10.0, 1.0, 20_000))},
+         "B": {"x": TDigest.from_values(rng.normal(20.0, 1.0, 20_000))}},
+        spark, str(tmp_path / "baseline"),
+    )
+
+    src = str(tmp_path / "in")
+    # batch 1: both cohorts in-distribution
+    pd1 = pd.DataFrame({
+        "cohort": ["A"] * 4000 + ["B"] * 4000,
+        "x": np.concatenate([rng.normal(10.0, 1.0, 4000),
+                             rng.normal(20.0, 1.0, 4000)]),
+    })
+    spark.createDataFrame(pd1).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("cohort string, x double").parquet(src)
+    q = drift_stream(
+        stream, str(tmp_path / "baseline"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), columns=["x"], group_by="cohort",
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: cohort A shifts, cohort B VANISHES
+        pd2 = pd.DataFrame({"cohort": ["A"] * 4000,
+                            "x": rng.normal(14.0, 1.0, 4000)})
+        spark.createDataFrame(pd2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out") + "/drift_grouped")
+    rows = {(r["batch_id"], r["group"]): r for r in out.collect()}
+    assert not rows[(0, "A")]["drifted"] and not rows[(0, "B")]["drifted"]
+    a2 = rows[(1, "A")]
+    assert a2["drifted"] and a2["reason"] == "stats" and a2["ks"] > 0.3
+    b2 = rows[(1, "B")]
+    assert b2["drifted"] and b2["reason"] == "missing_in_current"
+    assert b2["n_current"] == 0
