@@ -1276,12 +1276,12 @@ class IncrementalNeardupResult:
     """State after one near-dup increment: ``new_pairs`` verified this
     increment, ``pairs`` = every verified pair so far (with an
     ``increment`` column), ``drop_list`` = (doc_id, component) over the
-    merged pair set, ``oversize_buckets`` = buckets whose COMBINED
+    merged pair set (None when requested with skip_drop_list), ``oversize_buckets`` = buckets whose COMBINED
     (old + delta) size exceeded the cap this increment."""
 
     new_pairs: DataFrame
     pairs: DataFrame
-    drop_list: DataFrame
+    drop_list: "DataFrame | None"
     oversize_buckets: DataFrame
     increment: int
     n_delta_files: int
@@ -1300,12 +1300,21 @@ def incremental_neardup(
     max_bucket_size: int = config.LSH_MAX_BUCKET_SIZE,
     signature_impl: str = "arrow",
     broadcast_limit: int = config.BROADCAST_ROW_LIMIT,
+    skip_drop_list: bool = False,
 ) -> IncrementalNeardupResult:
     """Snapshot-delta near-duplicate detection: sign ONLY the files
     appended since the last call, find candidates against a persisted
     (_id, band, bucket) signature store, verify, and merge — the
     corpus is never re-signed (the Python-UDF MinHash chain, the
     dominant cost, runs over delta rows only).
+
+    ``skip_drop_list=True`` returns ``drop_list=None`` without running
+    the connected-components pass: CC iterates over the FULL cumulative
+    pair store eagerly, so a caller that only consumes the increment's
+    new pairs (the streaming wrapper) would otherwise pay a per-call
+    cost growing with total history for a result it discards. Derive
+    the drop list on demand with ``dedup_keep_representatives`` when
+    actually deduplicating.
 
     Why this is sound: LSH pair discovery is a pairwise co-bucket
     property — two docs pair iff they share a (band, bucket) — so
@@ -1388,8 +1397,12 @@ def incremental_neardup(
         pairs = _read_store(spark, pairs_path)
         if pairs is None:
             pairs = _empty_pairs()
-        _, drop_list = dedup_keep_representatives(
-            corpus.limit(0), pairs.select("id_a", "id_b"), id_col
+        drop_list = (
+            None
+            if skip_drop_list
+            else dedup_keep_representatives(
+                corpus.limit(0), pairs.select("id_a", "id_b"), id_col
+            )[1]
         )
         empty_over = spark.createDataFrame(
             [], "band int, bucket long, n_docs long"
@@ -1493,8 +1506,12 @@ def incremental_neardup(
     pairs = _read_store(spark, pairs_path)
     if pairs is None:
         pairs = _empty_pairs()
-    _, drop_list = dedup_keep_representatives(
-        corpus.limit(0), pairs.select("id_a", "id_b"), id_col
+    drop_list = (
+        None
+        if skip_drop_list
+        else dedup_keep_representatives(
+            corpus.limit(0), pairs.select("id_a", "id_b"), id_col
+        )[1]
     )
     manifest = {"files": all_files, "increment": inc, "params": params}
     _os.makedirs(state_dir, exist_ok=True)

@@ -408,9 +408,21 @@ def save_grouped_baseline(
 def load_grouped_baseline(
     spark, path: str
 ) -> "dict[str, dict[str, TDigest]]":
-    """Load a save_grouped_baseline file -> {group: {column: TDigest}}."""
+    """Load a save_grouped_baseline file -> {group: {column: TDigest}}.
+
+    Raises with the remedy named when handed a FLAT save_baseline file
+    (the symmetric guard to load_baseline's grouped-file check): a
+    cohort-drift caller pointing at an ungrouped snapshot would
+    otherwise die on an opaque Row['group'] error inside the job."""
+    df = spark.read.parquet(path)
+    if "group" not in df.columns:
+        raise ValueError(
+            f"{path} is a flat save_baseline snapshot (columns "
+            f"{df.columns}); cohort drift (group_by=/drift_group_by=) "
+            "needs a save_grouped_baseline file"
+        )
     out: dict[str, dict[str, TDigest]] = {}
-    for r in spark.read.parquet(path).collect():
+    for r in df.collect():
         out.setdefault(r["group"], {})[r["column"]] = TDigest.deserialize(
             r["sketch"]
         )

@@ -19,6 +19,34 @@ from pyspark.sql import functions as F
 from . import rules as R
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """The module's ONE idempotent-replay sink recipe: partition by
+    batch_id + dynamic partition overwrite, so a micro-batch replayed
+    after a crash rewrites ITS partition instead of appending duplicate
+    rows (foreachBatch requires idempotent sinks for exactly-once)."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _start_foreach(stream_df: DataFrame, process_batch, checkpoint_dir: str,
+                   trigger_seconds: "int | None"):
+    """Shared writeStream tail: foreachBatch + checkpoint + optional
+    processing-time trigger; returns the started StreamingQuery."""
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def validate_stream(
     stream_df: DataFrame,
     rule_set: list[R.Rule],
@@ -41,27 +69,10 @@ def validate_stream(
         if batch_df.isEmpty():
             return
         verdicts, violations = R.evaluate_row_rules(batch_df, row_rules, key_column)
-        # idempotent replay: partition by batch_id + dynamic partition
-        # overwrite, so a micro-batch replayed after a crash rewrites
-        # ITS partition instead of appending duplicate rows (foreachBatch
-        # requires idempotent sinks for exactly-once)
         for df, name in ((verdicts, "verdicts"), (violations, "violations")):
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(f"{output_dir}/{name}")
-            )
+            _write_batch_partition(df, f"{output_dir}/{name}", batch_id)
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start_foreach(stream_df, process_batch, checkpoint_dir, trigger_seconds)
 
 
 def stateful_uniqueness(
@@ -220,17 +231,14 @@ def drift_stream(
             ]
             if not rows:
                 return
-            (
+            _write_batch_partition(
                 spark.createDataFrame(
                     rows,
                     "group string, column string, ks double, psi double, "
                     "drifted boolean, reason string, n_current long",
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(f"{output_dir}/drift_grouped")
+                ),
+                f"{output_dir}/drift_grouped",
+                batch_id,
             )
             return
         baseline = load_baseline(spark, baseline_path)
@@ -250,27 +258,17 @@ def drift_stream(
              int(r.get("n_current") or 0))
             for r in report
         ]
-        (
+        _write_batch_partition(
             spark.createDataFrame(
                 rows,
                 "column string, ks double, psi double, drifted boolean, "
                 "reason string, n_current long",
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(f"{output_dir}/drift")
+            ),
+            f"{output_dir}/drift",
+            batch_id,
         )
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start_foreach(stream_df, process_batch, checkpoint_dir, trigger_seconds)
 
 
 def neardup_stream(
@@ -287,27 +285,34 @@ def neardup_stream(
 ):
     """Stream-ingest near-duplicate detection — the sixth stream check
     family: each micro-batch is persisted into ``corpus_dir``
-    (partitioned by batch_id, dynamic-overwrite) and handed to
+    (partitioned by batch_id) and handed to
     ``dedup.incremental_neardup``, which MinHash-signs ONLY the
     batch's files and finds candidates against the persisted
     (_id, band, bucket) store — new-new pairs inside the batch plus
     new-old pairs against everything ingested before, without ever
     re-signing the corpus (the LSH co-bucket argument in
-    incremental_neardup's docstring). Verified pairs for the increment
-    land in ``{output_dir}/pairs`` partitioned by batch_id; combined
-    oversize buckets in ``{output_dir}/oversize_buckets``.
+    incremental_neardup's docstring). The batch's verified pairs land
+    in ``{output_dir}/pairs`` partitioned by batch_id; combined
+    oversize buckets in ``{output_dir}/oversize_buckets``. Empty
+    frames are not written, so each output directory appears with the
+    first non-empty batch (read with an explicit schema if consuming
+    earlier). The per-batch cost excludes the connected-components
+    pass (``skip_drop_list``): derive the drop list on demand with
+    ``dedup.dedup_keep_representatives`` over ``{state_dir}/pairs``.
 
-    Replay semantics: the corpus write is idempotent (a replayed batch
-    rewrites ITS partition), but the rewritten part-files get fresh
-    names, so incremental_neardup re-signs the batch and its pairs can
-    appear under two increments in the pair STORE. That duplication is
-    bounded (one replayed batch) and harmless downstream: candidate
-    sets are distinct-ed, and connected-components/keep-representative
-    derivation is duplicate-edge-tolerant — the drop list is unchanged.
-    ``neardup_params`` pass through (num_hashes, bands, shingle_k,
-    max_bucket_size, signature_impl, broadcast_limit); LSH parameters
-    are pinned in the state manifest, so changing them mid-stream
-    raises rather than silently mixing signature spaces.
+    Replay semantics: the corpus write is SKIPPED when the batch's
+    partition already exists — rewriting it would mint fresh
+    part-file names and delete the old ones, and once
+    incremental_neardup's manifest knows those files a rewrite would
+    trip its append-only contract on every retry, wedging the stream.
+    With the skip, a replayed batch re-runs incremental_neardup over
+    zero new files (a no-op increment) and the pair output is
+    re-derived from the pair STORE by increment id, so ``{output_dir}/
+    pairs`` converges to the same rows the first attempt would have
+    written. ``neardup_params`` pass through (num_hashes, bands,
+    shingle_k, max_bucket_size, signature_impl, broadcast_limit); LSH
+    parameters are pinned in the state manifest, so changing them
+    mid-stream raises rather than silently mixing signature spaces.
     """
     from .dedup import incremental_neardup
 
@@ -315,36 +320,35 @@ def neardup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        (
-            batch_df.select(id_col, text_col)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(corpus_dir)
+        part = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{corpus_dir}/batch_id={batch_id}"
         )
+        fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(part):
+            _write_batch_partition(
+                batch_df.select(id_col, text_col), corpus_dir, batch_id
+            )
         res = incremental_neardup(
             spark, corpus_dir, state_dir,
             id_col=id_col, text_col=text_col,
-            jaccard_threshold=jaccard_threshold, **neardup_params,
+            jaccard_threshold=jaccard_threshold, skip_drop_list=True,
+            **neardup_params,
         )
+        # by INCREMENT id from the store, not res.new_pairs: on a
+        # replayed batch (partition already existed, zero new files)
+        # new_pairs is empty while the store still holds the first
+        # attempt's pairs under the increment that covered this batch
+        batch_pairs = res.pairs.filter(
+            F.col("increment") == F.lit(res.increment)
+        ).select("id_a", "id_b", "jaccard")
         for df, name in (
-            (res.new_pairs, "pairs"),
+            (batch_pairs, "pairs"),
             (res.oversize_buckets, "oversize_buckets"),
         ):
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(f"{output_dir}/{name}")
-            )
+            if df.isEmpty():
+                continue  # a 0-row partitioned write emits only
+                # _SUCCESS and makes the whole directory unreadable
+                # until a real row arrives
+            _write_batch_partition(df, f"{output_dir}/{name}", batch_id)
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start_foreach(stream_df, process_batch, checkpoint_dir, trigger_seconds)

@@ -629,3 +629,18 @@ def test_grouped_drift_per_pair_holes_fire_not_skip(spark):
     assert [(r["group"], r["column"], r["reason"]) for r in rep3] == [
         ("gx", "__any__", "missing_in_baseline")
     ]
+
+
+def test_load_grouped_baseline_rejects_flat_file(spark, tmp_path):
+    """Symmetric format guard (round-5 review): pointing cohort drift
+    at a FLAT save_baseline file must fail fast with the remedy named,
+    not die on an opaque Row['group'] error inside a streaming job."""
+    from automatic_data_validator_spark.drift import (
+        TDigest, load_grouped_baseline, save_baseline)
+
+    save_baseline(
+        {"x": TDigest.from_values(np.arange(100, dtype=np.float64))},
+        spark, str(tmp_path / "flat"),
+    )
+    with pytest.raises(ValueError, match="save_grouped_baseline"):
+        load_grouped_baseline(spark, str(tmp_path / "flat"))

@@ -312,3 +312,47 @@ def test_drift_stream_grouped_cohorts(spark, tmp_path):
     b2 = rows[(1, "B")]
     assert b2["drifted"] and b2["reason"] == "missing_in_current"
     assert b2["n_current"] == 0
+
+
+def test_neardup_stream_replay_converges_not_wedges(spark, tmp_path):
+    """Round-5 review fix: a replayed micro-batch must NOT rewrite its
+    corpus partition (fresh part-file names would trip the incremental
+    manifest's append-only contract and wedge the stream forever).
+    Simulate replay by deleting the streaming checkpoint and
+    re-running the query over the same source, corpus, and state dirs:
+    batch 0 is reprocessed, the corpus write is skipped, and the pair
+    output converges to the same rows."""
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+    from automatic_data_validator_spark.streaming import neardup_stream
+
+    src = str(tmp_path / "in")
+    make_neardup_corpus(spark, 200, 2, seed=7).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+        q = neardup_stream(
+            stream, str(tmp_path / "corpus"), str(tmp_path / "state"),
+            str(tmp_path / "out"), ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(str(tmp_path / "ckpt1"))
+    corpus_files = sorted(
+        spark.read.parquet(str(tmp_path / "corpus")).inputFiles()
+    )
+    # fresh checkpoint -> Structured Streaming replays the source as
+    # batch 0 against the SAME corpus/state dirs
+    run_once(str(tmp_path / "ckpt2"))
+    # corpus partition untouched (same part-files, no append-only trip)
+    assert sorted(
+        spark.read.parquet(str(tmp_path / "corpus")).inputFiles()
+    ) == corpus_files
+    pairs = spark.read.parquet(str(tmp_path / "out") + "/pairs").collect()
+    assert [(r["id_a"], r["id_b"], r["batch_id"]) for r in pairs] == [
+        ("dd-000000000000", "dd-000000000001", 0)
+    ]
