@@ -197,6 +197,7 @@ def validate_incremental(
     drift_signals=None,
     drift_ks_threshold: float = 0.1,
     drift_psi_threshold: float = 0.2,
+    drift_group_by: "str | None" = None,
 ) -> IncrementalResult:
     """Validate the files of ``documents_path`` appended since the
     last call with the same ``state_dir``; merge with the persisted
@@ -384,6 +385,7 @@ def validate_incremental(
             d_v, d_viol = _incremental_drift(
                 spark, delta, state_dir, inc, drift_baseline,
                 drift_signals, drift_ks_threshold, drift_psi_threshold,
+                group_by=drift_group_by,
             )
             new_verdicts.append(d_v)
             new_violations.append(d_viol)
@@ -595,15 +597,104 @@ def _incremental_drift(
     drift_signals,
     ks_threshold: float,
     psi_threshold: float,
+    group_by: "str | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus-vs-baseline drift in incremental mode: sketch ONLY the
     delta's signal columns, persist the digests per increment, merge
     every increment's digests into the corpus digest (associative
     t-digest merge), and compare that against the baseline. Verdict/
     violation shapes match run_validation's drift phase (partition_id
-    -1, rule_id drift_<col>, one violation row per drifted column)."""
+    -1, rule_id drift_<col>, one violation row per drifted column).
+
+    ``group_by``: COHORT drift — the delta is sketched per (group,
+    column) and merged across increments into a per-cohort corpus
+    digest, compared against a grouped baseline; rule ids follow the
+    full path's ``drift_<col>[<group>]``. The per-increment stores are
+    mode-specific (``sketches`` vs ``sketches_grouped``), so switching
+    modes mid-state raises: the other mode's history cannot be folded
+    into this mode's corpus digest and a silent partial sketch would
+    report drift against a fraction of the corpus."""
     from . import drift as DR
 
+    if group_by is not None:
+        other = os.path.join(state_dir, "sketches")
+        if os.path.exists(other):
+            raise ValueError(
+                "incremental drift: this state_dir holds TABLE-level "
+                "per-increment sketches; cohort mode cannot fold them "
+                "into a per-group corpus digest — re-bootstrap with a "
+                "fresh state_dir to switch drift modes"
+            )
+        baseline = (
+            DR.load_grouped_baseline(spark, drift_baseline)
+            if isinstance(drift_baseline, str)
+            else drift_baseline
+        )
+        target = drift_signals(delta) if drift_signals else delta
+        if group_by not in target.columns:
+            raise ValueError(
+                f"incremental drift: drift_group_by column '{group_by}' "
+                f"is not in the signal frame columns "
+                f"{sorted(target.columns)}"
+            )
+        base_cols = {c for g in baseline.values() for c in g}
+        cols = sorted(base_cols & set(target.columns))
+        if not cols:
+            raise ValueError(
+                "incremental drift: grouped-baseline columns "
+                f"{sorted(base_cols)} do not intersect target columns "
+                f"{sorted(target.columns)}; misconfigured baseline or "
+                "drift_signals"
+            )
+        cur = DR.sketch_columns_by_group(target, group_by, cols)
+        _write_inc(
+            spark.createDataFrame(
+                [
+                    (g, c, d.serialize())
+                    for g, gcols in cur.items()
+                    for c, d in gcols.items()
+                ],
+                "group string, column string, sketch string",
+            ),
+            os.path.join(state_dir, "sketches_grouped"), inc,
+        )
+        hist = spark.read.parquet(os.path.join(state_dir, "sketches_grouped"))
+        gmerged: dict[str, dict[str, DR.TDigest]] = {}
+        for r in hist.collect():
+            d = DR.TDigest.deserialize(r["sketch"])
+            gcols = gmerged.setdefault(r["group"], {})
+            gcols[r["column"]] = (
+                gcols[r["column"]].merge(d) if r["column"] in gcols else d
+            )
+        report = DR.grouped_drift_report_columns(
+            gmerged, baseline, cols,
+            ks_threshold=ks_threshold, psi_threshold=psi_threshold,
+        )
+        v_rows, viol_rows = [], []
+        for r in report:
+            rid = f"drift_{r['column']}[{r['group']}]"
+            v_rows.append(
+                (-1, rid, int(r.get("n_current") or 0),
+                 1 if r["drifted"] else 0, not r["drifted"])
+            )
+            if r["drifted"]:
+                viol_rows.append(
+                    (f"{r['column']}[{r['group']}]", rid, -1,
+                     f"group={r['group']};ks={r['ks']:.6f};"
+                     f"psi={r['psi']:.6f};reason={r['reason']};inc={inc}")
+                )
+        return (
+            spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
+            spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),
+        )
+
+    if os.path.exists(os.path.join(state_dir, "sketches_grouped")):
+        raise ValueError(
+            "incremental drift: this state_dir holds COHORT "
+            "per-increment sketches; table-level mode cannot fold them "
+            "into one corpus digest — re-bootstrap with a fresh "
+            "state_dir to switch drift modes"
+        )
     baseline = (
         DR.load_baseline(spark, drift_baseline)
         if isinstance(drift_baseline, str)

@@ -155,17 +155,15 @@ def main(argv: list[str] | None = None) -> int:
                 "their own state and a baseline should be saved from a "
                 "full run"
             )
-        if args.drift_group_by:
-            raise SystemExit(
-                "--incremental-state is incompatible with "
-                "--drift-group-by: incremental drift merges TABLE-level "
-                "per-increment digests; per-cohort incremental merge is "
-                "not implemented — run cohort drift from the full path"
-            )
         # --drift-baseline IS supported: the increment sketches its
-        # delta signals and the merged corpus digest is compared
+        # delta signals and the merged corpus digest is compared.
+        # --drift-group-by too (r5): per-(group, column) digests merge
+        # across increments into per-cohort corpus digests, vs a
+        # save_grouped_baseline snapshot
         _numeric, signals_fn = (
-            _pick_signals_fn(docs) if args.drift_baseline else ([], None)
+            _pick_signals_fn(docs, args.drift_group_by)
+            if args.drift_baseline
+            else ([], None)
         )
         ires = validate_incremental(
             spark, args.documents, args.incremental_state,
@@ -173,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
             rule_version=args.rule_version,
             drift_baseline=args.drift_baseline,
             drift_signals=signals_fn,
+            drift_group_by=args.drift_group_by,
         )
         from automatic_data_validator_spark.state import (
             run_summary as _run_summary,

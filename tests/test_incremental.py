@@ -506,3 +506,82 @@ def test_drift_columns_naming_missing_column_fails(spark, docs):
             with_profile=False, drift_baseline=baseline,
             drift_signals=document_signals, drift_columns=["n_spanz"],
         )
+
+
+def test_incremental_grouped_drift_cohorts(spark, tmp_path):
+    """Cohort drift in incremental mode (r5): per-(group, column)
+    digests persist per increment and merge into per-cohort corpus
+    digests — a shifted cohort in a later increment fires while the
+    other cohort stays green, a cohort absent from the whole corpus
+    but present in the baseline fires missing_in_current, and
+    switching drift modes on the same state_dir raises."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_data_validator_spark.drift import (
+        TDigest, save_grouped_baseline)
+
+    rng = np.random.RandomState(3)
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    bpath = str(tmp_path / "baseline")
+    save_grouped_baseline(
+        {"A": {"x": TDigest.from_values(rng.normal(10.0, 1.0, 20_000))},
+         "B": {"x": TDigest.from_values(rng.normal(20.0, 1.0, 20_000))},
+         "C": {"x": TDigest.from_values(rng.normal(0.0, 1.0, 20_000))}},
+        spark, bpath,
+    )
+
+    def append(rows: pd.DataFrame):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(corpus)
+
+    # bootstrap: both cohorts in-distribution (doc_id present so the
+    # uniqueness family has its key column)
+    append(pd.DataFrame({
+        "doc_id": [f"a{i}" for i in range(3000)],
+        "cohort": ["A"] * 1500 + ["B"] * 1500,
+        "x": np.concatenate([rng.normal(10.0, 1.0, 1500),
+                             rng.normal(20.0, 1.0, 1500)]),
+    }))
+    r1 = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False,
+        drift_baseline=bpath, drift_group_by="cohort",
+    )
+    d1 = {r["rule_id"]: r for r in r1.verdicts.collect()
+          if r["rule_id"].startswith("drift_")}
+    assert d1["drift_x[A]"]["pass"] and d1["drift_x[B]"]["pass"]
+    # baseline cohort C never ingested -> missing_in_current fires
+    assert not d1["drift_x[C]"]["pass"]
+
+    # increment: cohort A shifts hard (delta dominates A's corpus
+    # digest), B appends in-distribution
+    append(pd.DataFrame({
+        "doc_id": [f"b{i}" for i in range(7000)],
+        "cohort": ["A"] * 6000 + ["B"] * 1000,
+        "x": np.concatenate([rng.normal(14.0, 1.0, 6000),
+                             rng.normal(20.0, 1.0, 1000)]),
+    }))
+    r2 = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False,
+        drift_baseline=bpath, drift_group_by="cohort",
+    )
+    d2 = {r["rule_id"]: r for r in r2.verdicts.collect()
+          if r["rule_id"].startswith("drift_")}
+    assert not d2["drift_x[A]"]["pass"]  # merged A digest drifted
+    assert d2["drift_x[B]"]["pass"]      # same increment, same table
+    viol = {r["doc_id"]: r["detail"] for r in r2.violations.collect()
+            if r["rule_id"].startswith("drift_")}
+    assert "x[A]" in viol and "reason=stats" in viol["x[A]"]
+
+    # mode switch on the same state_dir is refused (needs a real
+    # increment — a no-delta call returns stored state before drift)
+    append(pd.DataFrame({
+        "doc_id": ["z1", "z2"], "cohort": ["A", "B"],
+        "x": [10.0, 20.0],
+    }))
+    with pytest.raises(ValueError, match="COHORT per-increment"):
+        validate_incremental(
+            spark, corpus, state, rule_set=[], with_profile=False,
+            drift_baseline={"x": TDigest.from_values(
+                rng.normal(10.0, 1.0, 1000))},
+        )
