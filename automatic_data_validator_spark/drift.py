@@ -753,3 +753,36 @@ def document_signals(
             F.size(F.array_compact(s.getField("media_ref"))).cast("double")
         ).alias("n_media_refs"),
     )
+
+
+def drift_report_rows(
+    report: "list[dict]", grouped: bool = False, inc: "int | None" = None
+) -> "tuple[list, list]":
+    """(verdict_rows, violation_rows) in rules.VERDICT_SCHEMA /
+    VIOLATION_SCHEMA shape from a drift_report /
+    grouped_drift_report_columns result — the ONE encoding of drift
+    rule ids (``drift_<col>`` / ``drift_<col>[<group>]``), verdict
+    tuples (partition_id -1), and violation detail strings, shared by
+    the batch validate phase and both incremental drift modes (it used
+    to exist as four hand-kept copies). ``inc`` appends the
+    increment-id suffix the incremental paths record."""
+    v_rows, viol_rows = [], []
+    for r in report:
+        key = (
+            f"{r['column']}[{r['group']}]" if grouped else r["column"]
+        )
+        rid = f"drift_{key}"
+        v_rows.append(
+            (-1, rid, int(r.get("n_current") or 0),
+             1 if r["drifted"] else 0, not r["drifted"])
+        )
+        if r["drifted"]:
+            detail = (
+                (f"group={r['group']};" if grouped else "")
+                + f"ks={r['ks']:.6f};psi={r['psi']:.6f}"
+                + f";reason={r['reason']}"
+            )
+            if inc is not None:
+                detail += f";inc={inc}"
+            viol_rows.append((key, rid, -1, detail))
+    return v_rows, viol_rows

@@ -236,11 +236,19 @@ def validate_incremental(
     # an increment that skips them would silently VANISH from every
     # future merged metric / corpus digest (the merges read only what
     # was stored) while the results still claim corpus-level coverage
+    # drift_group_by participates too (round-5 review): switching the
+    # cohort COLUMN (or cohort<->table mode) would merge digests keyed
+    # by different dimensions into one corpus sketch
     modes = {"with_profile": bool(with_profile),
-             "drift": drift_baseline is not None}
-    if manifest.get("modes") is not None and manifest["modes"] != modes:
+             "drift": drift_baseline is not None,
+             "drift_group_by": drift_group_by}
+    stored_modes = manifest.get("modes")
+    if stored_modes is not None:
+        # manifests written before the key existed ran table-level
+        stored_modes.setdefault("drift_group_by", None)
+    if stored_modes is not None and stored_modes != modes:
         raise ValueError(
-            f"profile/drift participation changed ({manifest['modes']} "
+            f"profile/drift participation changed ({stored_modes} "
             f"-> {modes}): increments that skip a merged family drop "
             "out of the corpus-level result silently — keep the flags "
             "consistent for the state_dir's lifetime, or re-bootstrap"
@@ -630,6 +638,19 @@ def _incremental_drift(
             if isinstance(drift_baseline, str)
             else drift_baseline
         )
+        if baseline and not all(
+            isinstance(v, dict) for v in baseline.values()
+        ):
+            # the same fail-fast remedy a string path gets from
+            # load_grouped_baseline: a flat {column: TDigest} dict here
+            # would die on an opaque "'TDigest' is not iterable"
+            raise ValueError(
+                "incremental drift: drift_baseline is a FLAT "
+                "{column: sketch} dict but drift_group_by is set — "
+                "cohort drift needs a grouped {group: {column: "
+                "sketch}} baseline (sketch_columns_by_group / "
+                "save_grouped_baseline output)"
+            )
         target = drift_signals(delta) if drift_signals else delta
         if group_by not in target.columns:
             raise ValueError(
@@ -647,20 +668,26 @@ def _incremental_drift(
                 "drift_signals"
             )
         cur = DR.sketch_columns_by_group(target, group_by, cols)
-        _write_inc(
-            spark.createDataFrame(
-                [
-                    (g, c, d.serialize())
-                    for g, gcols in cur.items()
-                    for c, d in gcols.items()
-                ],
-                "group string, column string, sketch string",
-            ),
-            os.path.join(state_dir, "sketches_grouped"), inc,
+        rows = [
+            (g, c, d.serialize())
+            for g, gcols in cur.items()
+            for c, d in gcols.items()
+        ]
+        if rows:
+            # a 0-row delta sketches nothing — writing the empty frame
+            # would leave a file-less store that the history read below
+            # cannot infer a schema from, wedging the state
+            _write_inc(
+                spark.createDataFrame(
+                    rows, "group string, column string, sketch string"
+                ),
+                os.path.join(state_dir, "sketches_grouped"), inc,
+            )
+        hist = _read_store(
+            spark, os.path.join(state_dir, "sketches_grouped")
         )
-        hist = spark.read.parquet(os.path.join(state_dir, "sketches_grouped"))
         gmerged: dict[str, dict[str, DR.TDigest]] = {}
-        for r in hist.collect():
+        for r in [] if hist is None else hist.collect():
             d = DR.TDigest.deserialize(r["sketch"])
             gcols = gmerged.setdefault(r["group"], {})
             gcols[r["column"]] = (
@@ -670,19 +697,9 @@ def _incremental_drift(
             gmerged, baseline, cols,
             ks_threshold=ks_threshold, psi_threshold=psi_threshold,
         )
-        v_rows, viol_rows = [], []
-        for r in report:
-            rid = f"drift_{r['column']}[{r['group']}]"
-            v_rows.append(
-                (-1, rid, int(r.get("n_current") or 0),
-                 1 if r["drifted"] else 0, not r["drifted"])
-            )
-            if r["drifted"]:
-                viol_rows.append(
-                    (f"{r['column']}[{r['group']}]", rid, -1,
-                     f"group={r['group']};ks={r['ks']:.6f};"
-                     f"psi={r['psi']:.6f};reason={r['reason']};inc={inc}")
-                )
+        v_rows, viol_rows = DR.drift_report_rows(
+            report, grouped=True, inc=inc
+        )
         return (
             spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
             spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),
@@ -728,20 +745,7 @@ def _incremental_drift(
         merged, baseline, cols,
         ks_threshold=ks_threshold, psi_threshold=psi_threshold,
     )
-    v_rows = []
-    viol_rows = []
-    for r in report:
-        rid = f"drift_{r['column']}"
-        v_rows.append(
-            (-1, rid, int(r.get("n_current") or 0),
-             1 if r["drifted"] else 0, not r["drifted"])
-        )
-        if r["drifted"]:
-            viol_rows.append(
-                (r["column"], rid, -1,
-                 f"ks={r['ks']:.6f};psi={r['psi']:.6f};"
-                 f"reason={r['reason']};inc={inc}")
-            )
+    v_rows, viol_rows = DR.drift_report_rows(report, inc=inc)
     return (
         spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
         spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),

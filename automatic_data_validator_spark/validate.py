@@ -409,19 +409,9 @@ def run_validation(
                     ks_threshold=drift_ks_threshold,
                     psi_threshold=drift_psi_threshold,
                 )
-                v_rows, viol_rows = [], []
-                for r in report:
-                    rid = f"drift_{r['column']}[{r['group']}]"
-                    v_rows.append(
-                        (-1, rid, int(r.get("n_current") or 0),
-                         1 if r["drifted"] else 0, not r["drifted"])
-                    )
-                    if r["drifted"]:
-                        viol_rows.append(
-                            (f"{r['column']}[{r['group']}]", rid, -1,
-                             f"group={r['group']};ks={r['ks']:.6f};"
-                             f"psi={r['psi']:.6f};reason={r['reason']}")
-                        )
+                v_rows, viol_rows = DR.drift_report_rows(
+                    report, grouped=True
+                )
                 return (
                     spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
                     spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),
@@ -451,20 +441,7 @@ def run_validation(
                 ks_threshold=drift_ks_threshold,
                 psi_threshold=drift_psi_threshold,
             )
-            v_rows = []
-            viol_rows = []
-            for r in report:
-                rid = f"drift_{r['column']}"
-                v_rows.append(
-                    (-1, rid, int(r.get("n_current") or 0),
-                     1 if r["drifted"] else 0, not r["drifted"])
-                )
-                if r["drifted"]:
-                    viol_rows.append(
-                        (r["column"], rid, -1,
-                         f"ks={r['ks']:.6f};psi={r['psi']:.6f};"
-                         f"reason={r['reason']}")
-                    )
+            v_rows, viol_rows = DR.drift_report_rows(report)
             return (
                 spark.createDataFrame(v_rows, R.VERDICT_SCHEMA),
                 spark.createDataFrame(viol_rows, R.VIOLATION_SCHEMA),

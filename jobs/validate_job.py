@@ -160,6 +160,14 @@ def main(argv: list[str] | None = None) -> int:
         # --drift-group-by too (r5): per-(group, column) digests merge
         # across increments into per-cohort corpus digests, vs a
         # save_grouped_baseline snapshot
+        if args.drift_group_by and not args.drift_baseline:
+            raise SystemExit(
+                "--drift-group-by does nothing in incremental mode "
+                "without --drift-baseline (incremental rejects "
+                "--save-drift-baseline, the flag's only other "
+                "consumer) — a silently-dropped flag would read as "
+                "cohort drift being monitored when it is not"
+            )
         _numeric, signals_fn = (
             _pick_signals_fn(docs, args.drift_group_by)
             if args.drift_baseline

@@ -573,15 +573,33 @@ def test_incremental_grouped_drift_cohorts(spark, tmp_path):
             if r["rule_id"].startswith("drift_")}
     assert "x[A]" in viol and "reason=stats" in viol["x[A]"]
 
-    # mode switch on the same state_dir is refused (needs a real
-    # increment — a no-delta call returns stored state before drift)
+    # mode/column switches on the same state_dir are refused: the
+    # manifest now pins drift_group_by alongside profile/drift
+    # participation (needs a real increment — a no-delta call returns
+    # stored state before any check)
     append(pd.DataFrame({
         "doc_id": ["z1", "z2"], "cohort": ["A", "B"],
         "x": [10.0, 20.0],
     }))
-    with pytest.raises(ValueError, match="COHORT per-increment"):
-        validate_incremental(
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        validate_incremental(  # cohort -> table-level
             spark, corpus, state, rule_set=[], with_profile=False,
             drift_baseline={"x": TDigest.from_values(
                 rng.normal(10.0, 1.0, 1000))},
+        )
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        validate_incremental(  # cohort column changed
+            spark, corpus, state, rule_set=[], with_profile=False,
+            drift_baseline=bpath, drift_group_by="doc_id",
+        )
+    # a FLAT dict baseline with group_by set fails fast with the
+    # remedy named, not an opaque iteration error (needs a fresh
+    # state so the manifest check doesn't fire first)
+    with pytest.raises(ValueError, match="save_grouped_baseline"):
+        validate_incremental(
+            spark, corpus, str(tmp_path / "state2"), rule_set=[],
+            with_profile=False,
+            drift_baseline={"x": TDigest.from_values(
+                rng.normal(10.0, 1.0, 1000))},
+            drift_group_by="cohort",
         )
