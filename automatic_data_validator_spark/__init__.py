@@ -31,8 +31,13 @@ from .profile import (  # noqa: F401
     quality_report,
 )
 from .dedup import neardup_dedup  # noqa: F401
+from .incremental import (  # noqa: F401
+    compact_state,
+    rebase_after_compaction,
+    validate_incremental,
+)
 from .rules import Rule, distributed_verdicts, evaluate_row_rules  # noqa: F401
-from .sources import write_bucketed_table  # noqa: F401
+from .sources import write_bucketed_table, write_sorted_table  # noqa: F401
 from .state import (  # noqa: F401
     Checkpointer,
     CheckpointRegistry,

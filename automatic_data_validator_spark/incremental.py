@@ -220,6 +220,21 @@ def validate_incremental(
     corpus is created.
     """
     mpath = os.path.join(state_dir, _MANIFEST)
+    if os.path.isdir(state_dir):
+        # a compaction that crashed between its two swap renames leaves
+        # <store>.compact_bak with the LIVE dir missing — reading that
+        # state would silently treat the store as never written (an
+        # absent key index passes every cross-increment duplicate);
+        # refuse until compact_state() has recovered it
+        crashed = [
+            d for d in os.listdir(state_dir) if d.endswith(".compact_bak")
+        ]
+        if crashed:
+            raise ValueError(
+                f"state_dir {state_dir} holds a crashed compaction "
+                f"({sorted(crashed)}); run compact_state() first — it "
+                "restores the backed-up store before doing anything else"
+            )
     manifest = (
         json.load(open(mpath)) if os.path.exists(mpath)
         else {"files": [], "increment": -1, "schema": None,
@@ -532,6 +547,101 @@ def history_report(spark: SparkSession, state_dir: str) -> DataFrame:
         (F.sum((~F.col("pass")).cast("long")) == 0).alias("pass"),
     ).select("increment", "rule_id", "row_count", "violation_count", "pass")
     return per.unionByName(rollup).orderBy("increment", "rule_id")
+
+
+_COMPACTABLE_STORES = (
+    "verdicts", "violations", "lineage", "key_index", "partials",
+    "sketches", "sketches_grouped",
+)
+
+
+def _parquet_file_count(path: str) -> int:
+    n = 0
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        n += sum(
+            1 for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return n
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    files_per_increment: int = 1,
+) -> "dict[str, tuple[int, int]]":
+    """Rewrite the per-increment state stores so each increment
+    partition holds at most ``files_per_increment`` parquet files.
+    Returns {store: (files_before, files_after)} for every store it
+    touched (untouched stores report equal counts).
+
+    Why this matters at scale: every increment writes each store with
+    the session's shuffle-partition fan-out, so after K increments a
+    store holds O(K x shuffle_partitions) tiny files — and every later
+    merge (the key-index join, the partials re-merge, the digest
+    history read) pays per-file open/footer cost. This is the
+    STATE-side small-file problem, the twin of the corpus-side
+    compaction ``rebase_after_compaction`` exists for. Rows, the
+    ``increment`` partition layout, and crash-idempotency semantics
+    are preserved exactly — only file counts change.
+
+    Crash safety: each store is rewritten to ``<store>.compact_tmp``
+    first, then swapped in two renames with a ``<store>.compact_bak``
+    backup. A crash mid-swap leaves the backup; the next
+    ``compact_state`` call restores it before doing anything else, and
+    ``validate_incremental`` refuses to run while a backup exists
+    (an absent key index would otherwise silently pass every
+    cross-increment duplicate). Run between increments, not
+    concurrently with one."""
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        raise ValueError(f"no incremental state at {state_dir}")
+    if files_per_increment < 1:
+        raise ValueError("files_per_increment must be >= 1")
+    # recovery from a previous crashed compaction, before any rewrite
+    for store in _COMPACTABLE_STORES:
+        live = os.path.join(state_dir, store)
+        bak = live + ".compact_bak"
+        tmp = live + ".compact_tmp"
+        if os.path.isdir(bak):
+            if os.path.isdir(live):
+                # crashed after the swap completed, before cleanup:
+                # live is the compacted store, the backup is stale
+                shutil.rmtree(bak)
+            else:
+                # crashed between the two renames: restore the backup
+                os.rename(bak, live)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+    report: dict[str, tuple[int, int]] = {}
+    for store in _COMPACTABLE_STORES:
+        live = os.path.join(state_dir, store)
+        df = _read_store(spark, live)
+        if df is None:
+            continue
+        before = _parquet_file_count(live)
+        n_incs = df.select("increment").distinct().count()
+        if before <= n_incs * files_per_increment:
+            report[store] = (before, before)
+            continue
+        tmp = live + ".compact_tmp"
+        # coalesce(k) + partitionBy: k tasks each write one file per
+        # increment directory they hold rows for — ≤ k files/increment
+        (
+            df.coalesce(files_per_increment)
+            .write.mode("overwrite")
+            .partitionBy("increment")
+            .parquet(tmp)
+        )
+        bak = live + ".compact_bak"
+        os.rename(live, bak)
+        os.rename(tmp, live)
+        shutil.rmtree(bak)
+        report[store] = (before, _parquet_file_count(live))
+    return report
 
 
 def rebase_after_compaction(

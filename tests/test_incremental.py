@@ -603,3 +603,77 @@ def test_incremental_grouped_drift_cohorts(spark, tmp_path):
                 rng.normal(10.0, 1.0, 1000))},
             drift_group_by="cohort",
         )
+
+
+def test_compact_state_shrinks_files_preserves_rows(spark, tmp_path):
+    """compact_state rewrites each per-increment store down to 1 file
+    per increment: rows, the increment partition layout, and the next
+    increment's merge semantics are untouched — only file counts
+    shrink. Also pins crash recovery: a compaction that died between
+    its two swap renames leaves <store>.compact_bak, which makes
+    validate_incremental refuse (an absent key index would silently
+    pass every cross-increment duplicate) until compact_state restores
+    it."""
+    from automatic_data_validator_spark.incremental import (
+        _parquet_file_count,
+        compact_state,
+        history_report,
+    )
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    cat = make_media_catalog(spark, 100, seed=42)
+    for seed, n in ((42, 1500), (43, 800), (44, 600)):
+        make_documents(
+            spark, n, n_media=100, seed=seed, num_partitions=3
+        ).withColumn(
+            "doc_id", F.concat(F.lit(f"s{seed}-"), F.col("doc_id"))
+        ).write.mode("append").parquet(corpus)
+        validate_incremental(spark, corpus, state, catalog=cat)
+
+    before_viol = _viol_multiset(
+        spark.read.parquet(os.path.join(state, "violations"))
+    )
+    before_hist = [
+        tuple(r) for r in history_report(spark, state).collect()
+    ]
+    key_files_before = _parquet_file_count(os.path.join(state, "key_index"))
+    assert key_files_before > 3  # per-increment shuffle fan-out
+
+    report = compact_state(spark, state)
+    assert report["key_index"][1] <= 3 < report["key_index"][0]
+    assert report["verdicts"][1] <= 3
+    assert (
+        _viol_multiset(spark.read.parquet(os.path.join(state, "violations")))
+        == before_viol
+    )
+    assert [
+        tuple(r) for r in history_report(spark, state).collect()
+    ] == before_hist
+
+    # idempotent: already-compact stores are left alone
+    report2 = compact_state(spark, state)
+    assert all(b == a for b, a in report2.values()), report2
+
+    # the NEXT increment still merges correctly against compacted state
+    make_documents(
+        spark, 400, n_media=100, seed=42, num_partitions=2
+    ).withColumn(
+        "doc_id", F.concat(F.lit("s42-"), F.col("doc_id"))  # collide w/ inc 0
+    ).write.mode("append").parquet(corpus)
+    r4 = validate_incremental(spark, corpus, state, catalog=cat)
+    full = run_validation(spark, spark.read.parquet(corpus), catalog=cat)
+    assert _viol_multiset(r4.violations) == _viol_multiset(full.violations)
+
+    # crashed-compaction simulation: live key_index gone, backup left
+    live = os.path.join(state, "key_index")
+    os.rename(live, live + ".compact_bak")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="crashed compaction"):
+        validate_incremental(spark, corpus, state, catalog=cat)
+    compact_state(spark, state)  # recovery restores the backup
+    assert os.path.isdir(live) and not os.path.isdir(live + ".compact_bak")
+    assert _viol_multiset(
+        validate_incremental(spark, corpus, state, catalog=cat).violations
+    ) == _viol_multiset(full.violations)

@@ -215,3 +215,45 @@ def test_ngram_jaccard_scans_corpus_once_and_prunes(spark, tmp_path):
     assert got[("dd-000000000000", "dd-000000000001")] > 0.8
     assert got[("dd-000000000002", "dd-000000000003")] > 0.8
     assert got[("dd-000000000000", "dd-000000000002")] < 0.1
+
+
+def test_sorted_table_range_scan_skips_files(spark, tmp_path):
+    """write_sorted_table lays files out as disjoint sort-key ranges:
+    a key-range predicate covering 1/8 of the keyspace reads ~1/8 of
+    the records (parquet footer min/max pruning), while the same
+    predicate over a randomly-partitioned copy of the SAME rows reads
+    everything. The filter must also reach the scan as a PushedFilter
+    — without pushdown there is nothing for the stats to prune."""
+    from automatic_data_validator_spark.introspect import input_records
+    from automatic_data_validator_spark.sources import write_sorted_table
+
+    n = 80_000
+    df = spark.range(n).select(
+        F.format_string("doc-%012d", F.col("id")).alias("doc_id"),
+        (F.col("id") % 97).alias("v"),
+    )
+    sorted_p = str(tmp_path / "sorted")
+    shuffled_p = str(tmp_path / "shuffled")
+    write_sorted_table(df, sorted_p, "doc_id", num_files=8)
+    df.repartition(8).write.parquet(shuffled_p)
+
+    pred = F.col("doc_id") >= "doc-000000070000"  # top 1/8 of keys
+    reads = {}
+    for name, p in (("sorted", sorted_p), ("shuffled", shuffled_p)):
+        q = spark.read.parquet(p).filter(pred)
+        r0 = input_records(spark)
+        assert q.count() == 10_000
+        reads[name] = input_records(spark) - r0
+    plan = (
+        spark.read.parquet(sorted_p).filter(pred)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThanOrEqual(doc_id,doc-000000070000)" in plan.split(
+        "PushedFilters: "
+    )[1].splitlines()[0]
+    # sorted: only the file(s) whose range intersects the predicate
+    # (≤ 2 of 8 — range boundaries are sampled, so the cut may not
+    # land exactly on the predicate constant); shuffled: every file's
+    # min/max spans the whole keyspace, nothing is skipped
+    assert reads["sorted"] <= n // 4, reads
+    assert reads["shuffled"] >= int(n * 0.95), reads
