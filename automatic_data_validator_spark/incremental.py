@@ -66,6 +66,28 @@ _MANIFEST = "manifest.json"
 # compacted corpus in ONE key-only scan, so rebase_after_compaction can
 # verify the rewrite preserved the row multiset without trusting it
 _CHECKSUM_P = 2**40
+# compaction swap suffixes — shared by compact_state's two-rename swap
+# and the guards that refuse to read a mid-swap state
+_COMPACT_BAK = ".compact_bak"
+_COMPACT_TMP = ".compact_tmp"
+
+
+def _refuse_crashed_compaction(state_dir: str) -> None:
+    """Raise if a compaction crashed between its two swap renames here
+    (<store>.compact_bak present, live dir possibly missing): reading
+    such a state would silently treat the store as never written — an
+    absent key index passes every cross-increment duplicate."""
+    if not os.path.isdir(state_dir):
+        return
+    crashed = [
+        d for d in os.listdir(state_dir) if d.endswith(_COMPACT_BAK)
+    ]
+    if crashed:
+        raise ValueError(
+            f"state_dir {state_dir} holds a crashed compaction "
+            f"({sorted(crashed)}); run compact_state() first — it "
+            "restores the backed-up store before doing anything else"
+        )
 
 
 def _key_checksum(loc: DataFrame) -> tuple[int, int]:
@@ -156,22 +178,8 @@ def _read_store(
     treating it as 'never written' would silently skip merged checks
     (e.g. an unreadable key index would pass every cross-increment
     duplicate) and produce false-pass results."""
-    if os.path.isdir(path):
-        # mirror Spark's hidden-path filter: _temporary/ leftovers and
-        # dot/underscore-prefixed files are NOT data — counting them
-        # would make a crashed store write raise UNABLE_TO_INFER_SCHEMA
-        # forever instead of recovering (round-5 review finding)
-        has_files = False
-        for _root, dirs, files in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            if any(
-                f.endswith(".parquet") and not f.startswith(("_", "."))
-                for f in files
-            ):
-                has_files = True
-                break
-        if has_files:
-            return spark.read.parquet(path)
+    if os.path.isdir(path) and _parquet_file_count(path, first_only=True):
+        return spark.read.parquet(path)
     if schema is None:
         return None
     from pyspark.sql import types as T
@@ -220,21 +228,7 @@ def validate_incremental(
     corpus is created.
     """
     mpath = os.path.join(state_dir, _MANIFEST)
-    if os.path.isdir(state_dir):
-        # a compaction that crashed between its two swap renames leaves
-        # <store>.compact_bak with the LIVE dir missing — reading that
-        # state would silently treat the store as never written (an
-        # absent key index passes every cross-increment duplicate);
-        # refuse until compact_state() has recovered it
-        crashed = [
-            d for d in os.listdir(state_dir) if d.endswith(".compact_bak")
-        ]
-        if crashed:
-            raise ValueError(
-                f"state_dir {state_dir} holds a crashed compaction "
-                f"({sorted(crashed)}); run compact_state() first — it "
-                "restores the backed-up store before doing anything else"
-            )
+    _refuse_crashed_compaction(state_dir)
     manifest = (
         json.load(open(mpath)) if os.path.exists(mpath)
         else {"files": [], "increment": -1, "schema": None,
@@ -532,6 +526,7 @@ def history_report(spark: SparkSession, state_dir: str) -> DataFrame:
 
     Columns: increment, rule_id, row_count, violation_count, pass.
     """
+    _refuse_crashed_compaction(state_dir)
     verdicts = _read_store(spark, os.path.join(state_dir, "verdicts"))
     if verdicts is None:
         raise ValueError(f"no incremental state at {state_dir}")
@@ -555,7 +550,13 @@ _COMPACTABLE_STORES = (
 )
 
 
-def _parquet_file_count(path: str) -> int:
+def _parquet_file_count(path: str, first_only: bool = False) -> int:
+    """Count data files under a store, mirroring Spark's hidden-path
+    filter (_temporary/ leftovers and dot/underscore-prefixed entries
+    are NOT data — counting them would make a crashed store write
+    raise UNABLE_TO_INFER_SCHEMA forever instead of recovering).
+    ``first_only`` early-exits at 1 — the emptiness probe
+    ``_read_store`` uses."""
     n = 0
     for _root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -563,6 +564,8 @@ def _parquet_file_count(path: str) -> int:
             1 for f in files
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
+        if first_only and n:
+            return n
     return n
 
 
@@ -603,8 +606,8 @@ def compact_state(
     # recovery from a previous crashed compaction, before any rewrite
     for store in _COMPACTABLE_STORES:
         live = os.path.join(state_dir, store)
-        bak = live + ".compact_bak"
-        tmp = live + ".compact_tmp"
+        bak = live + _COMPACT_BAK
+        tmp = live + _COMPACT_TMP
         if os.path.isdir(bak):
             if os.path.isdir(live):
                 # crashed after the swap completed, before cleanup:
@@ -619,15 +622,22 @@ def compact_state(
     report: dict[str, tuple[int, int]] = {}
     for store in _COMPACTABLE_STORES:
         live = os.path.join(state_dir, store)
-        df = _read_store(spark, live)
-        if df is None:
+        if not os.path.isdir(live):
             continue
         before = _parquet_file_count(live)
-        n_incs = df.select("increment").distinct().count()
+        if before == 0:
+            continue
+        # the hive layout answers the idempotency check locally — no
+        # Spark job for stores that are already compact (the common
+        # repeated-call case)
+        n_incs = sum(
+            1 for d in os.listdir(live) if d.startswith("increment=")
+        )
         if before <= n_incs * files_per_increment:
             report[store] = (before, before)
             continue
-        tmp = live + ".compact_tmp"
+        df = _read_store(spark, live)
+        tmp = live + _COMPACT_TMP
         # coalesce(k) + partitionBy: k tasks each write one file per
         # increment directory they hold rows for — ≤ k files/increment
         (
@@ -636,7 +646,7 @@ def compact_state(
             .partitionBy("increment")
             .parquet(tmp)
         )
-        bak = live + ".compact_bak"
+        bak = live + _COMPACT_BAK
         os.rename(live, bak)
         os.rename(tmp, live)
         shutil.rmtree(bak)
@@ -673,6 +683,7 @@ def rebase_after_compaction(
     mpath = os.path.join(state_dir, _MANIFEST)
     if not os.path.exists(mpath):
         raise ValueError(f"no incremental state at {state_dir}")
+    _refuse_crashed_compaction(state_dir)
     manifest = json.load(open(mpath))
     full = spark.read.parquet(documents_path)
     all_files = sorted(full.inputFiles())

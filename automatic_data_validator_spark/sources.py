@@ -354,10 +354,12 @@ def write_sorted_table(
     distribution, so a hot key concentrates in one partition — for
     file SKIPPING that is harmless (the hot file still has a tight
     range); it only skews file sizes."""
+    if num_files is not None and num_files < 1:
+        raise ValueError("num_files must be >= 1")
     key = F.col(sort_key)
     parted = (
         df.repartitionByRange(num_files, key)
-        if num_files
+        if num_files is not None
         else df.repartitionByRange(key)
     )
     parted.sortWithinPartitions(sort_key).write.mode(mode).parquet(path)

@@ -668,10 +668,10 @@ def test_compact_state_shrinks_files_preserves_rows(spark, tmp_path):
     # crashed-compaction simulation: live key_index gone, backup left
     live = os.path.join(state, "key_index")
     os.rename(live, live + ".compact_bak")
-    import pytest as _pt
-
-    with _pt.raises(ValueError, match="crashed compaction"):
+    with pytest.raises(ValueError, match="crashed compaction"):
         validate_incremental(spark, corpus, state, catalog=cat)
+    with pytest.raises(ValueError, match="crashed compaction"):
+        history_report(spark, state)  # readers refuse too, with remedy
     compact_state(spark, state)  # recovery restores the backup
     assert os.path.isdir(live) and not os.path.isdir(live + ".compact_bak")
     assert _viol_multiset(
