@@ -717,6 +717,157 @@ def rebase_after_compaction(
     return len(all_files)
 
 
+def expire_increments(
+    spark: SparkSession,
+    state_dir: str,
+    keep_last: int = 8,
+    archive_dir: "str | None" = None,
+) -> dict:
+    """Bound per-increment HISTORY growth: roll verdict and lineage
+    rows of increments older than the newest ``keep_last`` into one
+    base partition (``increment=-1``) and drop — or move to
+    ``archive_dir`` — their violation rows.
+
+    Why this is the last piece of the unbounded-state story: the
+    merged families are already size-bounded (``key_index`` ~ one row
+    per corpus key, ``partials``/``sketches`` ~ O(partitions x columns)
+    per increment, both file-compactable via ``compact_state``), but
+    verdicts/violations/lineage keep one row per historical event
+    FOREVER — after years of hourly snapshots the state outgrows the
+    deltas it serves. Expired history collapses to per-rule totals
+    (``partition_id=-1``, exactly the aggregate ``history_report``
+    derived from it), so grand totals across the whole report are
+    preserved; violation ROWS — the one store that grows with data
+    quality, not increment count — are appended to ``archive_dir``
+    (cold storage) or dropped.
+
+    NOT touched, by design: ``key_index`` (cross-increment uniqueness
+    needs every key's location forever), ``partials`` (metrics
+    re-merge), ``sketches``/``sketches_grouped`` (corpus drift
+    digests), ``metrics``. Expiry bounds the *history*, never the
+    merged state the next increment's correctness depends on — pinned
+    by the post-expiry promotion test.
+
+    Crash safety: each store is rewritten with the same two-rename
+    ``.compact_tmp``/``.compact_bak`` swap as ``compact_state``, so a
+    crash mid-swap is refused by every reader and recovered by the
+    next ``compact_state`` call. Archiving is at-least-once: a crash
+    between the archive append and the swap re-archives the same rows
+    on retry — dedupe downstream on (doc_id, rule_id, detail,
+    increment) if the archive must be exactly-once.
+
+    Returns ``{store: (rows_expired, rows_after)}`` plus
+    ``expired_through`` (highest expired increment id, also recorded
+    in the manifest)."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mpath = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(f"no incremental state at {state_dir}")
+    _refuse_crashed_compaction(state_dir)
+    manifest = json.load(open(mpath))
+    latest = int(manifest["increment"])
+    cutoff = latest - keep_last + 1
+    report: dict = {"expired_through": cutoff - 1}
+    if cutoff <= 0:
+        return report
+
+    def _swap(live: str, frame: DataFrame) -> None:
+        tmp = live + _COMPACT_TMP
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        # history stores are driver-state-scale, not corpus-scale:
+        # a small fan-out keeps file counts flat without a compact run
+        frame.coalesce(4).write.mode("overwrite").partitionBy(
+            "increment"
+        ).parquet(tmp)
+        bak = live + _COMPACT_BAK
+        os.rename(live, bak)
+        os.rename(tmp, live)
+        shutil.rmtree(bak)
+
+    expired = F.col("increment") < cutoff  # includes a prior -1 base
+
+    # ---- verdicts: expired rows -> one per-rule total row ----
+    live = os.path.join(state_dir, "verdicts")
+    v = _read_store(spark, live)
+    if v is None:
+        raise ValueError(f"no incremental state at {state_dir}")
+    n_old = v.filter(expired & (F.col("increment") >= 0)).count()
+    if n_old == 0:
+        return report  # nothing newly expirable; keep the swap unpaid
+    base_v = (
+        v.filter(expired)
+        .groupBy("rule_id")
+        .agg(
+            F.sum("row_count").alias("row_count"),
+            F.sum("violation_count").alias("violation_count"),
+        )
+        .select(
+            F.lit(-1).cast("int").alias("partition_id"),
+            "rule_id",
+            "row_count",
+            "violation_count",
+            (F.col("violation_count") == 0).alias("pass"),
+            F.lit(-1).cast("int").alias("increment"),
+        )
+    )
+    new_v = v.filter(~expired).unionByName(base_v)
+    n_exp = v.filter(expired).count()
+    _swap(live, new_v)
+    report["verdicts"] = (n_exp, _read_store(spark, live).count())
+
+    # ---- lineage: expired rows -> per-(phase, op) total rows ----
+    live = os.path.join(state_dir, "lineage")
+    lin = _read_store(spark, live)
+    if lin is not None:
+        base_l = (
+            lin.filter(expired)
+            .groupBy("phase", "op")
+            .agg(
+                F.max("rule_version").alias("rule_version"),
+                F.max("ts").alias("ts"),
+                F.sum("duration_s").alias("duration_s"),
+                F.sum("row_count").alias("row_count"),
+                F.sum("violation_count").alias("violation_count"),
+            )
+            .select(
+                "phase",
+                F.lit(-1).cast("int").alias("partition_id"),
+                F.lit(f"expired<={cutoff - 1}").alias("snapshot_id"),
+                "rule_version", "ts", "duration_s", "op",
+                "row_count", "violation_count",
+                F.lit(-1).cast("int").alias("increment"),
+            )
+        )
+        n_exp = lin.filter(expired).count()
+        _swap(live, lin.filter(~expired).unionByName(base_l))
+        report["lineage"] = (n_exp, _read_store(spark, live).count())
+
+    # ---- violations: archive (optional), then drop expired rows ----
+    live = os.path.join(state_dir, "violations")
+    viol = _read_store(spark, live)
+    if viol is not None:
+        old_rows = viol.filter(expired)
+        n_exp = old_rows.count()
+        if archive_dir is not None and n_exp:
+            old_rows.write.mode("append").parquet(archive_dir)
+        _swap(live, viol.filter(~expired))
+        kept = _read_store(spark, live)
+        report["violations"] = (n_exp, 0 if kept is None else kept.count())
+        if archive_dir is not None:
+            report["archive_dir"] = archive_dir
+
+    manifest["expired_through"] = cutoff - 1
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return report
+
+
 def _incremental_drift(
     spark: SparkSession,
     delta: DataFrame,

@@ -104,7 +104,23 @@ def main(argv: list[str] | None = None) -> int:
                          "sketches merge into the corpus digest); "
                          "--checkpoint/--save-drift-baseline are "
                          "rejected")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    metavar="K",
+                    help="after an incremental run, roll verdict/"
+                         "lineage history older than the newest K "
+                         "increments into an increment=-1 base and "
+                         "drop (or archive) their violation rows "
+                         "(incremental.expire_increments); requires "
+                         "--incremental-state")
+    ap.add_argument("--expire-archive", default=None, metavar="DIR",
+                    help="with --expire-keep-last: append expired "
+                         "violation rows here instead of dropping them")
     args = ap.parse_args(argv)
+    if args.expire_keep_last is not None and not args.incremental_state:
+        raise SystemExit(
+            "--expire-keep-last only applies to --incremental-state "
+            "runs (full runs keep no per-increment history to expire)"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -197,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
             f"delta_files={ires.n_delta_files} delta_rows={ires.delta_rows} "
             f"passed={ok}; outputs at {args.output}"
         )
+        if args.expire_keep_last is not None:
+            # routine retention rides the run, AFTER results are out
+            from automatic_data_validator_spark.incremental import (
+                expire_increments,
+            )
+
+            erep = expire_increments(
+                spark, args.incremental_state,
+                keep_last=args.expire_keep_last,
+                archive_dir=args.expire_archive,
+            )
+            print(f"expired history: {erep}")
         if owns_session:
             spark.stop()
         return 0 if ok else 1

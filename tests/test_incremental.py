@@ -385,6 +385,27 @@ def test_incremental_job_flag(spark, tmp_path):
     summ = spark.read.parquet(f"{base}/out/run_summary")
     assert summ.filter("phase = '__run__'").count() == 1
 
+    # retention rides the run: a third increment with --expire-keep-last
+    # rolls increments 0-1 into the -1 base after writing outputs
+    make_documents(spark, 300, n_media=100, seed=7, num_partitions=1).write.mode(
+        "append"
+    ).parquet(f"{base}/docs")
+    rc = validate_job.main(argv + ["--expire-keep-last", "1"])
+    assert rc == 1
+    from automatic_data_validator_spark.incremental import history_report
+
+    incs = {
+        r["increment"]
+        for r in history_report(spark, f"{base}/state").collect()
+    }
+    assert incs == {-1, 2}
+    # and the flag is refused outside incremental mode
+    with pytest.raises(SystemExit, match="expire-keep-last"):
+        validate_job.main([
+            "--documents", f"{base}/docs", "--output", f"{base}/out2",
+            "--expire-keep-last", "1",
+        ])
+
 
 def test_history_report(spark, tmp_path):
     """Per-increment trend view from the verdict store: rows checked
@@ -677,3 +698,107 @@ def test_compact_state_shrinks_files_preserves_rows(spark, tmp_path):
     assert _viol_multiset(
         validate_incremental(spark, corpus, state, catalog=cat).violations
     ) == _viol_multiset(full.violations)
+
+
+def test_expire_increments_bounds_history(spark, tmp_path):
+    """Retention: verdict/lineage rows of increments past the window
+    roll into an increment=-1 base (grand totals preserved), their
+    violation rows move to the archive, and the merged families stay
+    intact — a key from an EXPIRED increment still promotes when a
+    later delta duplicates it (the key index is never expired)."""
+    from automatic_data_validator_spark.incremental import (
+        expire_increments,
+        history_report,
+    )
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    archive = str(tmp_path / "archive")
+    batches = [
+        [("a", 1), ("b", 2)],      # inc 0
+        [("b", 3), ("c", 4)],      # inc 1: cross-increment dup 'b'
+        [("d", 5)],                # inc 2: clean
+        [("e", 6), ("e", 7)],      # inc 3: in-batch dup 'e'
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id string, value int"
+        ).coalesce(1).write.mode("append").parquet(corpus)
+        r = validate_incremental(
+            spark, corpus, state, rule_set=[], with_profile=False
+        )
+    assert _viol_multiset(r.violations) == [
+        ("b", "unique_doc_id"), ("b", "unique_doc_id"),
+        ("e", "unique_doc_id"), ("e", "unique_doc_id"),
+    ]
+
+    def _grand_total(hist_rows):
+        return sum(
+            r["violation_count"] for r in hist_rows
+            if r["rule_id"] == "unique_doc_id"
+        ), sum(
+            r["row_count"] for r in hist_rows
+            if r["rule_id"] == "unique_doc_id"
+        )
+
+    pre = _grand_total(history_report(spark, state).collect())
+
+    rep = expire_increments(spark, state, keep_last=2, archive_dir=archive)
+    assert rep["expired_through"] == 1
+    hist = history_report(spark, state).collect()
+    assert {r["increment"] for r in hist} == {-1, 2, 3}
+    # grand totals over base + retained equal the pre-expiry report
+    assert _grand_total(hist) == pre
+    base = [r for r in hist if r["increment"] == -1 and
+            r["rule_id"] == "unique_doc_id"][0]
+    assert base["violation_count"] == 2 and base["pass"] is False
+
+    # violation store keeps only retained increments; archive has the rest
+    r_after = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False
+    )
+    assert _viol_multiset(r_after.violations) == [
+        ("e", "unique_doc_id"), ("e", "unique_doc_id"),
+    ]
+    assert _viol_multiset(spark.read.parquet(archive)) == [
+        ("b", "unique_doc_id"), ("b", "unique_doc_id"),
+    ]
+
+    # merged families untouched: duplicating EXPIRED-increment key 'a'
+    # still fires both occurrences (new + promoted from increment 0)
+    spark.createDataFrame(
+        [("a", 9)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    r5 = validate_incremental(
+        spark, corpus, state, rule_set=[], with_profile=False
+    )
+    assert _viol_multiset(r5.violations) == [
+        ("a", "unique_doc_id"), ("a", "unique_doc_id"),
+        ("e", "unique_doc_id"), ("e", "unique_doc_id"),
+    ]
+    assert r5.violations.filter(
+        F.col("detail").contains("promoted")
+    ).count() == 1
+
+    # second expiry re-merges the existing base instead of dropping it
+    rep2 = expire_increments(spark, state, keep_last=2)
+    assert rep2["expired_through"] == 2
+    hist2 = history_report(spark, state).collect()
+    assert {r["increment"] for r in hist2} == {-1, 3, 4}
+    # 'a' promotion adds 2 violations (inc 4); totals still add up
+    assert _grand_total(hist2)[0] == pre[0] + 2
+
+    # no-op path: window covers everything that is left
+    rep3 = expire_increments(spark, state, keep_last=50)
+    assert "verdicts" not in rep3
+
+    # guards
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_increments(spark, state, keep_last=0)
+    with pytest.raises(ValueError, match="no incremental state"):
+        expire_increments(spark, str(tmp_path / "nope"))
+    bak = os.path.join(state, "verdicts.compact_bak")
+    os.makedirs(bak)
+    with pytest.raises(ValueError, match="crashed compaction"):
+        expire_increments(spark, state, keep_last=1)
+    os.rmdir(bak)
