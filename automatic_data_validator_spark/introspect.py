@@ -16,7 +16,18 @@ def input_records(spark) -> int:
     stages (AppStatusStore). Take a snapshot before a job and diff
     after; delta / input rows = number of input scans. Only finished
     stages are counted, so call after an action has returned."""
-    store = spark.sparkContext._jsc.sc().statusStore()
+    sc = spark.sparkContext._jsc.sc()
+    try:
+        # the status store is fed by an ASYNC listener bus: under host
+        # load, stage metrics can lag the action's return by seconds,
+        # silently under-counting a snapshot (observed as a scan-budget
+        # test false-failing only during a concurrent full-suite run).
+        # Drain the bus before reading; best-effort — the counter is
+        # still meaningful without it, just eventually consistent.
+        sc.listenerBus().waitUntilEmpty(10000)
+    except Exception:
+        pass
+    store = sc.statusStore()
     empty = spark._jvm.java.util.Collections.emptyList()
     args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
     stages = store.stageList(empty, *args)

@@ -802,3 +802,38 @@ def test_expire_increments_bounds_history(spark, tmp_path):
     with pytest.raises(ValueError, match="crashed compaction"):
         expire_increments(spark, state, keep_last=1)
     os.rmdir(bak)
+
+
+def test_expire_increments_resumes_after_partial_crash(spark, tmp_path):
+    """A crash between two stores' swaps must not wedge the later
+    stores: re-running expire_increments expires a store with
+    in-window rows even when the earlier stores are already clean."""
+    import shutil
+
+    from automatic_data_validator_spark.incremental import (
+        expire_increments,
+    )
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    for rows in [[("a", 1), ("a", 2)], [("b", 3)], [("c", 4)]]:
+        spark.createDataFrame(
+            rows, "doc_id string, value int"
+        ).coalesce(1).write.mode("append").parquet(corpus)
+        validate_incremental(
+            spark, corpus, state, rule_set=[], with_profile=False
+        )
+    viol_store = os.path.join(state, "violations")
+    snapshot = str(tmp_path / "viol_snapshot")
+    shutil.copytree(viol_store, snapshot)
+
+    rep1 = expire_increments(spark, state, keep_last=1)
+    assert rep1["violations"][0] == 2  # both 'a' occurrences dropped
+
+    # simulate the crash: verdicts/lineage swapped, violations did not
+    shutil.rmtree(viol_store)
+    shutil.copytree(snapshot, viol_store)
+    rep2 = expire_increments(spark, state, keep_last=1)
+    # verdicts had nothing newly expirable, violations still expired
+    assert "verdicts" not in rep2
+    assert rep2["violations"] == (2, 0)
