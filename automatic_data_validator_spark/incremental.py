@@ -789,16 +789,20 @@ def expire_increments(
         shutil.rmtree(bak)
 
     expired = F.col("increment") < cutoff  # includes a prior -1 base
+    # a REAL increment partition (not the -1 base) inside the expiry
+    # window; checked per store so a crash between two stores' swaps
+    # cannot wedge the later stores unexpired (the re-run would see
+    # the first store already clean and must NOT early-return)
+    newly_expired = expired & (F.col("increment") >= 0)
 
     # ---- verdicts: expired rows -> one per-rule total row ----
     live = os.path.join(state_dir, "verdicts")
     v = _read_store(spark, live)
     if v is None:
         raise ValueError(f"no incremental state at {state_dir}")
-    n_old = v.filter(expired & (F.col("increment") >= 0)).count()
-    if n_old == 0:
-        return report  # nothing newly expirable; keep the swap unpaid
-    base_v = (
+    if v.filter(newly_expired).limit(1).count() == 0:
+        v = None
+    base_v = None if v is None else (
         v.filter(expired)
         .groupBy("rule_id")
         .agg(
@@ -814,14 +818,16 @@ def expire_increments(
             F.lit(-1).cast("int").alias("increment"),
         )
     )
-    new_v = v.filter(~expired).unionByName(base_v)
-    n_exp = v.filter(expired).count()
-    _swap(live, new_v)
-    report["verdicts"] = (n_exp, _read_store(spark, live).count())
+    if v is not None:
+        n_exp = v.filter(expired).count()
+        _swap(live, v.filter(~expired).unionByName(base_v))
+        report["verdicts"] = (n_exp, _read_store(spark, live).count())
 
     # ---- lineage: expired rows -> per-(phase, op) total rows ----
     live = os.path.join(state_dir, "lineage")
     lin = _read_store(spark, live)
+    if lin is not None and lin.filter(newly_expired).limit(1).count() == 0:
+        lin = None
     if lin is not None:
         base_l = (
             lin.filter(expired)
@@ -849,6 +855,8 @@ def expire_increments(
     # ---- violations: archive (optional), then drop expired rows ----
     live = os.path.join(state_dir, "violations")
     viol = _read_store(spark, live)
+    if viol is not None and viol.filter(newly_expired).limit(1).count() == 0:
+        viol = None
     if viol is not None:
         old_rows = viol.filter(expired)
         n_exp = old_rows.count()
