@@ -485,6 +485,7 @@ def validate_incremental(
 
     # manifest LAST: a crash above leaves the old manifest, and the
     # re-run dynamically overwrites this increment's partitions
+    prior_expired = manifest.get("expired_through")
     manifest = {
         "files": all_files,
         "increment": inc,
@@ -493,6 +494,9 @@ def validate_incremental(
         "checksum": checksum,
         "modes": modes,
     }
+    if prior_expired is not None:
+        # retention watermark (expire_increments) survives increments
+        manifest["expired_through"] = prior_expired
     os.makedirs(state_dir, exist_ok=True)
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
@@ -548,6 +552,29 @@ _COMPACTABLE_STORES = (
     "verdicts", "violations", "lineage", "key_index", "partials",
     "sketches", "sketches_grouped",
 )
+
+
+def _swap_store(live: str, frame: DataFrame, n_files: int = 4) -> None:
+    """THE two-rename crash-swap for state stores, shared by
+    ``compact_state`` and ``expire_increments``: write ``frame`` to
+    ``<store>.compact_tmp`` (coalesced to ``n_files`` tasks), rename
+    the live dir to ``<store>.compact_bak``, rename tmp in, drop the
+    backup. A crash mid-swap leaves the backup, which every reader
+    refuses (``_refuse_crashed_compaction``) and the next
+    ``compact_state`` call restores — keep that recovery loop in sync
+    if the protocol here ever changes."""
+    import shutil
+
+    tmp = live + _COMPACT_TMP
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    frame.coalesce(n_files).write.mode("overwrite").partitionBy(
+        "increment"
+    ).parquet(tmp)
+    bak = live + _COMPACT_BAK
+    os.rename(live, bak)
+    os.rename(tmp, live)
+    shutil.rmtree(bak)
 
 
 def _parquet_file_count(path: str, first_only: bool = False) -> int:
@@ -637,19 +664,9 @@ def compact_state(
             report[store] = (before, before)
             continue
         df = _read_store(spark, live)
-        tmp = live + _COMPACT_TMP
         # coalesce(k) + partitionBy: k tasks each write one file per
         # increment directory they hold rows for — ≤ k files/increment
-        (
-            df.coalesce(files_per_increment)
-            .write.mode("overwrite")
-            .partitionBy("increment")
-            .parquet(tmp)
-        )
-        bak = live + _COMPACT_BAK
-        os.rename(live, bak)
-        os.rename(tmp, live)
-        shutil.rmtree(bak)
+        _swap_store(live, df, files_per_increment)
         report[store] = (before, _parquet_file_count(live))
     return report
 
@@ -757,10 +774,11 @@ def expire_increments(
     increment) if the archive must be exactly-once.
 
     Returns ``{store: (rows_expired, rows_after)}`` plus
-    ``expired_through`` (highest expired increment id, also recorded
-    in the manifest)."""
-    import shutil
-
+    ``expired_through`` (highest increment id ever expired for this
+    state, -1 if none; also recorded in the manifest and preserved by
+    later increments). ``rows_expired`` counts only rows from real
+    expiring increments — a prior ``-1`` base is re-merged, not
+    expired, so it is excluded."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     mpath = os.path.join(state_dir, _MANIFEST)
@@ -770,29 +788,20 @@ def expire_increments(
     manifest = json.load(open(mpath))
     latest = int(manifest["increment"])
     cutoff = latest - keep_last + 1
-    report: dict = {"expired_through": cutoff - 1}
+    # never regresses: keep_last growing between calls must not make
+    # the recorded watermark move backwards
+    through = max(cutoff - 1, int(manifest.get("expired_through", -1)))
+    report: dict = {"expired_through": through}
     if cutoff <= 0:
         return report
 
-    def _swap(live: str, frame: DataFrame) -> None:
-        tmp = live + _COMPACT_TMP
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        # history stores are driver-state-scale, not corpus-scale:
-        # a small fan-out keeps file counts flat without a compact run
-        frame.coalesce(4).write.mode("overwrite").partitionBy(
-            "increment"
-        ).parquet(tmp)
-        bak = live + _COMPACT_BAK
-        os.rename(live, bak)
-        os.rename(tmp, live)
-        shutil.rmtree(bak)
-
     expired = F.col("increment") < cutoff  # includes a prior -1 base
     # a REAL increment partition (not the -1 base) inside the expiry
-    # window; checked per store so a crash between two stores' swaps
-    # cannot wedge the later stores unexpired (the re-run would see
-    # the first store already clean and must NOT early-return)
+    # window; counted per store so (a) the report never counts base
+    # rows that are merely re-merged, and (b) a crash between two
+    # stores' swaps cannot wedge the later stores unexpired (the
+    # re-run sees the first store already clean and must NOT
+    # early-return for the rest)
     newly_expired = expired & (F.col("increment") >= 0)
 
     # ---- verdicts: expired rows -> one per-rule total row ----
@@ -800,35 +809,32 @@ def expire_increments(
     v = _read_store(spark, live)
     if v is None:
         raise ValueError(f"no incremental state at {state_dir}")
-    if v.filter(newly_expired).limit(1).count() == 0:
-        v = None
-    base_v = None if v is None else (
-        v.filter(expired)
-        .groupBy("rule_id")
-        .agg(
-            F.sum("row_count").alias("row_count"),
-            F.sum("violation_count").alias("violation_count"),
+    n_exp = v.filter(newly_expired).count()
+    if n_exp:
+        base_v = (
+            v.filter(expired)
+            .groupBy("rule_id")
+            .agg(
+                F.sum("row_count").alias("row_count"),
+                F.sum("violation_count").alias("violation_count"),
+            )
+            .select(
+                F.lit(-1).cast("int").alias("partition_id"),
+                "rule_id",
+                "row_count",
+                "violation_count",
+                (F.col("violation_count") == 0).alias("pass"),
+                F.lit(-1).cast("int").alias("increment"),
+            )
         )
-        .select(
-            F.lit(-1).cast("int").alias("partition_id"),
-            "rule_id",
-            "row_count",
-            "violation_count",
-            (F.col("violation_count") == 0).alias("pass"),
-            F.lit(-1).cast("int").alias("increment"),
-        )
-    )
-    if v is not None:
-        n_exp = v.filter(expired).count()
-        _swap(live, v.filter(~expired).unionByName(base_v))
+        _swap_store(live, v.filter(~expired).unionByName(base_v))
         report["verdicts"] = (n_exp, _read_store(spark, live).count())
 
     # ---- lineage: expired rows -> per-(phase, op) total rows ----
     live = os.path.join(state_dir, "lineage")
     lin = _read_store(spark, live)
-    if lin is not None and lin.filter(newly_expired).limit(1).count() == 0:
-        lin = None
-    if lin is not None:
+    n_exp = 0 if lin is None else lin.filter(newly_expired).count()
+    if n_exp:
         base_l = (
             lin.filter(expired)
             .groupBy("phase", "op")
@@ -842,33 +848,30 @@ def expire_increments(
             .select(
                 "phase",
                 F.lit(-1).cast("int").alias("partition_id"),
-                F.lit(f"expired<={cutoff - 1}").alias("snapshot_id"),
+                F.lit(f"expired<={through}").alias("snapshot_id"),
                 "rule_version", "ts", "duration_s", "op",
                 "row_count", "violation_count",
                 F.lit(-1).cast("int").alias("increment"),
             )
         )
-        n_exp = lin.filter(expired).count()
-        _swap(live, lin.filter(~expired).unionByName(base_l))
+        _swap_store(live, lin.filter(~expired).unionByName(base_l))
         report["lineage"] = (n_exp, _read_store(spark, live).count())
 
     # ---- violations: archive (optional), then drop expired rows ----
     live = os.path.join(state_dir, "violations")
     viol = _read_store(spark, live)
-    if viol is not None and viol.filter(newly_expired).limit(1).count() == 0:
-        viol = None
-    if viol is not None:
-        old_rows = viol.filter(expired)
-        n_exp = old_rows.count()
-        if archive_dir is not None and n_exp:
-            old_rows.write.mode("append").parquet(archive_dir)
-        _swap(live, viol.filter(~expired))
+    n_exp = 0 if viol is None else viol.filter(newly_expired).count()
+    if n_exp:
+        if archive_dir is not None:
+            viol.filter(newly_expired).write.mode("append").parquet(
+                archive_dir
+            )
+            report["archive_dir"] = archive_dir
+        _swap_store(live, viol.filter(~expired))
         kept = _read_store(spark, live)
         report["violations"] = (n_exp, 0 if kept is None else kept.count())
-        if archive_dir is not None:
-            report["archive_dir"] = archive_dir
 
-    manifest["expired_through"] = cutoff - 1
+    manifest["expired_through"] = through
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)

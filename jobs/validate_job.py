@@ -121,6 +121,12 @@ def main(argv: list[str] | None = None) -> int:
             "--expire-keep-last only applies to --incremental-state "
             "runs (full runs keep no per-increment history to expire)"
         )
+    if args.expire_archive is not None and args.expire_keep_last is None:
+        raise SystemExit(
+            "--expire-archive does nothing without --expire-keep-last "
+            "— a silently-dropped flag would read as retention+"
+            "archiving being configured when it is not"
+        )
 
     from pyspark.sql import SparkSession
 

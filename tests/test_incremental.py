@@ -405,6 +405,13 @@ def test_incremental_job_flag(spark, tmp_path):
             "--documents", f"{base}/docs", "--output", f"{base}/out2",
             "--expire-keep-last", "1",
         ])
+    # an archive dir without retention would be silently dropped
+    with pytest.raises(SystemExit, match="expire-archive"):
+        validate_job.main([
+            "--documents", f"{base}/docs", "--output", f"{base}/out2",
+            "--incremental-state", f"{base}/state",
+            "--expire-archive", f"{base}/arch",
+        ])
 
 
 def test_history_report(spark, tmp_path):
@@ -788,9 +795,25 @@ def test_expire_increments_bounds_history(spark, tmp_path):
     # 'a' promotion adds 2 violations (inc 4); totals still add up
     assert _grand_total(hist2)[0] == pre[0] + 2
 
-    # no-op path: window covers everything that is left
+    # report counts only REAL expiring increments, not the re-merged
+    # base rows (inc 2 held one verdict row)
+    assert rep2["verdicts"][0] == 1
+
+    # no-op path: window covers everything that is left; the
+    # watermark reports the manifest's value, never a bogus negative
     rep3 = expire_increments(spark, state, keep_last=50)
     assert "verdicts" not in rep3
+    assert rep3["expired_through"] == 2
+
+    # the watermark survives later increments (manifest rebuild)
+    spark.createDataFrame(
+        [("f", 10)], "doc_id string, value int"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    validate_incremental(spark, corpus, state, rule_set=[], with_profile=False)
+    import json as _json
+
+    m = _json.load(open(os.path.join(state, "manifest.json")))
+    assert m["expired_through"] == 2
 
     # guards
     with pytest.raises(ValueError, match="keep_last"):
