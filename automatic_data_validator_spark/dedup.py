@@ -1342,8 +1342,16 @@ def incremental_neardup(
     import json as _json
     import os as _os
 
-    from .incremental import _read_store, _write_inc
+    from .incremental import (
+        _read_store,
+        _refuse_crashed_compaction,
+        _write_inc,
+    )
 
+    # a compact_state swap that crashed mid-rename would make the
+    # banded store read as never-written — every stored signature
+    # would silently stop pairing with new docs
+    _refuse_crashed_compaction(state_dir)
     params = {
         "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
         "jaccard_threshold": jaccard_threshold,

@@ -551,6 +551,9 @@ def history_report(spark: SparkSession, state_dir: str) -> DataFrame:
 _COMPACTABLE_STORES = (
     "verdicts", "violations", "lineage", "key_index", "partials",
     "sketches", "sketches_grouped",
+    # dedup.incremental_neardup state (same per-increment layout;
+    # stores absent from a given state_dir are skipped)
+    "banded", "bucket_counts", "pairs",
 )
 
 

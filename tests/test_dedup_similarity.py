@@ -783,6 +783,34 @@ def test_incremental_neardup_equals_oneshot(spark, tmp_path):
             jaccard_threshold=0.5, num_hashes=32, bands=32,
         )
 
+    # the neardup stores compact with the shared state compactor and
+    # a crashed swap is refused here too (an unreadable banded store
+    # would silently stop pairing new docs with stored signatures)
+    import os
+
+    from automatic_data_validator_spark.incremental import compact_state
+
+    rep = compact_state(spark, state)
+    assert "banded" in rep and "pairs" in rep
+    r5 = D.incremental_neardup(
+        spark, corpus, state, "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert pairset(r5.pairs) == pairset(full_pairs)
+    os.rename(
+        os.path.join(state, "banded"),
+        os.path.join(state, "banded.compact_bak"),
+    )
+    with pytest.raises(ValueError, match="crashed compaction"):
+        D.incremental_neardup(
+            spark, corpus, state, "doc_id", "text", jaccard_threshold=0.5
+        )
+    compact_state(spark, state)  # recovery restores the backup
+    assert pairset(
+        D.incremental_neardup(
+            spark, corpus, state, "doc_id", "text", jaccard_threshold=0.5
+        ).pairs
+    ) == pairset(full_pairs)
+
 
 def test_incremental_neardup_random_batches(spark, tmp_path):
     """Seeded random batch splits of a near-dup corpus: the merged
