@@ -529,6 +529,9 @@ def history_report(spark: SparkSession, state_dir: str) -> DataFrame:
     from the tiny verdict store only; no corpus data is touched.
 
     Columns: increment, rule_id, row_count, violation_count, pass.
+    After ``expire_increments``, ``increment=-1`` rows are the rolled
+    base: per-rule totals of all expired history, so grand totals over
+    the whole report are invariant under retention.
     """
     _refuse_crashed_compaction(state_dir)
     verdicts = _read_store(spark, os.path.join(state_dir, "verdicts"))
