@@ -58,7 +58,15 @@ def main(argv: list[str] | None = None) -> int:
                          "since the last run with this state dir "
                          "(dedup.incremental_neardup); --documents must "
                          "be a parquet path")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="after an incremental run, rewrite the state "
+                         "stores to 1 file/increment (incremental."
+                         "compact_state); requires --incremental-state")
     args = ap.parse_args(argv)
+    if args.compact_state and not args.incremental_state:
+        raise SystemExit(
+            "--compact-state only applies to --incremental-state runs"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -94,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
             f"dropped={spark.read.parquet(f'{args.output}/drop_list').count()}; "
             f"outputs at {args.output}"
         )
+        if args.compact_state:
+            from automatic_data_validator_spark.incremental import (
+                compact_state,
+            )
+
+            crep = compact_state(spark, args.incremental_state)
+            print(f"compacted state: {crep}")
         if owns_session:
             spark.stop()
         return 0

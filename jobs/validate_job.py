@@ -115,7 +115,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-archive", default=None, metavar="DIR",
                     help="with --expire-keep-last: append expired "
                          "violation rows here instead of dropping them")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="after an incremental run, rewrite the state "
+                         "stores to 1 file/increment (incremental."
+                         "compact_state); requires --incremental-state")
     args = ap.parse_args(argv)
+    if args.compact_state and not args.incremental_state:
+        raise SystemExit(
+            "--compact-state only applies to --incremental-state runs"
+        )
     if args.expire_keep_last is not None and not args.incremental_state:
         raise SystemExit(
             "--expire-keep-last only applies to --incremental-state "
@@ -231,6 +239,13 @@ def main(argv: list[str] | None = None) -> int:
                 archive_dir=args.expire_archive,
             )
             print(f"expired history: {erep}")
+        if args.compact_state:
+            from automatic_data_validator_spark.incremental import (
+                compact_state,
+            )
+
+            crep = compact_state(spark, args.incremental_state)
+            print(f"compacted state: {crep}")
         if owns_session:
             spark.stop()
         return 0 if ok else 1
