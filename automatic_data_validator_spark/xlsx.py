@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _NS_REL = (
@@ -139,6 +139,17 @@ def _sheet_xml(columns: list[str], rows: "list[list]") -> bytes:
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
         if isinstance(v, (int, float)):
+            # NaN/inf are not valid SpreadsheetML numerics: a report
+            # frame with a NULL double reaches here as float('nan')
+            # via pandas — blank cell for NaN (pandas to_excel
+            # default), inline 'inf'/'-inf' strings (its inf_rep).
+            if isinstance(v, float) and v != v:
+                return ""
+            if isinstance(v, float) and v in (float("inf"), float("-inf")):
+                return (
+                    f'<c r="{ref}" t="inlineStr"><is><t>'
+                    f'{"inf" if v > 0 else "-inf"}</t></is></c>'
+                )
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
@@ -188,8 +199,11 @@ def write_xlsx(path: str, sheets: "dict[str, tuple[list[str], list[list]]]") -> 
             'org/officeDocument/2006/relationships/officeDocument" '
             'Target="xl/workbook.xml"/></Relationships>',
         )
+        # attribute context: escape() alone leaves double quotes raw,
+        # which would terminate the name="…" attribute early
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name={quoteattr(n)} sheetId="{i + 1}" '
+            f'r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         z.writestr(

@@ -108,6 +108,44 @@ def test_excel_roundtrip_without_openpyxl(spark, tmp_path):
     assert raw["verdicts"][1] == [1, "a&b <ok>", 1.5, True]
 
 
+def test_xlsx_nan_inf_and_quoted_sheet_names(tmp_path):
+    """A report frame with a NULL double reaches the writer as
+    float('nan') via pandas — SpreadsheetML has no NaN/inf numeric, so
+    NaN must become a blank cell and ±inf inline strings (pandas
+    to_excel semantics), and a sheet name containing a double quote
+    must not terminate the name=\"…\" attribute early."""
+    import math
+    from xml.etree import ElementTree as ET
+
+    from automatic_data_validator_spark.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "edge.xlsx")
+    write_xlsx(
+        path,
+        {
+            'he said "hi"': (
+                ["v"],
+                [[float("nan")], [float("inf")], [float("-inf")], [2.5]],
+            )
+        },
+    )
+    # every XML part must stay well-formed (quoteattr + no <v>nan</v>)
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        for part in z.namelist():
+            ET.fromstring(z.read(part))
+    raw = read_xlsx(path)
+    assert list(raw) == ['he said "hi"']
+    rows = raw['he said "hi"']
+    assert rows[0] == ["v"]
+    assert rows[1] == [None] and rows[2] == ["inf"] and rows[3] == ["-inf"]
+    assert rows[4] == [2.5]
+    assert not any(
+        isinstance(v, float) and math.isnan(v) for r in rows for v in r
+    )
+
+
 def test_excel_sheet_name_collision_suffix(spark, tmp_path):
     """Two frames whose names collide at Excel's 31-char limit get a
     deterministic suffix instead of a writer-chosen rename."""
