@@ -187,3 +187,71 @@ def test_minhash_arrow_bit_equals_expr_fuzz(spark_sess, texts):
 @pytest.fixture(scope="module")
 def spark_sess(spark):
     return spark
+
+
+# --- xlsx roundtrip (driver-side, no Spark): the from-scratch
+# SpreadsheetML writer/reader must preserve arbitrary report cells.
+
+_XLSX_TEXT = st.text(
+    # printable XML-encodable chars; \r excluded because XML 1.0
+    # parsers normalize \r\n -> \n on read (a documented limitation,
+    # same reason openpyxl escapes it as _x000D_)
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cc", "Cs"), exclude_characters="\r"
+    ),
+    max_size=40,
+)
+
+_XLSX_CELL = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53) + 1, max_value=2**53 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    _XLSX_TEXT,
+)
+
+
+def _expected_cell(v):
+    """The documented read-back normalization: integral floats within
+    2^53 come back as int (pandas-read_excel-like)."""
+    if isinstance(v, bool) or v is None or isinstance(v, (int, str)):
+        return v
+    if v.is_integer() and abs(v) < 2**53:
+        return int(v)
+    return v
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    name=st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cc", "Cs"), exclude_characters="\r"
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    header=st.lists(_XLSX_TEXT, min_size=1, max_size=5),
+    rows=st.lists(st.lists(_XLSX_CELL, min_size=5, max_size=5), max_size=6),
+)
+def test_xlsx_roundtrip_property(tmp_path_factory, name, header, rows):
+    from automatic_data_validator_spark.xlsx import read_xlsx, write_xlsx
+
+    header = (header + [""] * 5)[:5]
+    path = str(tmp_path_factory.mktemp("xlsx") / "p.xlsx")
+    write_xlsx(path, {name: (header, rows)})
+    back = read_xlsx(path)
+    assert list(back) == [name]
+    got = back[name]
+    # empty-string cells write as <t xml:space="preserve"></t>; the
+    # reader surfaces them as "" — header row is all strings so exact
+    assert got[0] == header
+    assert len(got) == len(rows) + 1
+    for want_row, got_row in zip(rows, got[1:]):
+        for want, got_v in zip(want_row, got_row):
+            want = _expected_cell(want)
+            if want == "":
+                assert got_v in ("", None)  # trailing-gap cells drop
+            elif isinstance(want, float):
+                assert isinstance(got_v, float) and got_v == want
+            else:
+                assert got_v == want
