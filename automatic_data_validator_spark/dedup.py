@@ -1421,7 +1421,10 @@ def incremental_neardup(
             int(manifest["increment"]), 0,
         )
 
-    delta = spark.read.parquet(*delta_files)
+    # basePath keeps hive-partition columns visible (id/text may be
+    # ordinary columns, but a partitioned corpus must read the same
+    # shape here as in one-shot neardup_dedup over the directory)
+    delta = spark.read.option("basePath", corpus_path).parquet(*delta_files)
     banded_delta = _lsh_band_buckets(
         delta, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
     ).persist()

@@ -306,7 +306,14 @@ def validate_incremental(
             delta_rows=0,
         )
 
-    delta = spark.read.parquet(*delta_files)
+    # basePath restores hive-partition columns (corpus at /data
+    # partitioned by ds=…): reading leaf files alone disables partition
+    # discovery, so every increment — bootstrap included — would
+    # silently validate/profile WITHOUT the ds column while a full
+    # run_validation over the same path sees it
+    delta = (
+        spark.read.option("basePath", documents_path).parquet(*delta_files)
+    )
     schema_str = delta.schema.simpleString()
     if manifest["schema"] is not None and manifest["schema"] != schema_str:
         raise ValueError(

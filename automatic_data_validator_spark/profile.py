@@ -780,12 +780,27 @@ def shapiro_wilk_column(
     sample of <= max_n non-null values (data_analyzer.py:385 samples
     to 5000) fed to the from-scratch Shapiro-Wilk. One column-pruned
     pass; the full-data alternative is normality_jarque_bera (exact
-    moments, no sampling)."""
+    moments, no sampling).
+
+    The sample key hashes the row's position as well as its value:
+    hashing the value alone makes all duplicates of a value sort
+    adjacently, so a low-cardinality column (1M rows over 20 distinct
+    ratings) would return max_n copies of the 1-2 lowest-hashing
+    values — a grossly biased sample. With the per-row term the draw
+    is uniform over ROWS (deterministic for a fixed input layout,
+    like F.rand(seed); repartitioning changes the draw, not its
+    distribution)."""
     vals = [
         r[0]
         for r in df.select(F.col(column).cast("double"))
         .dropna()
-        .orderBy(F.xxhash64(F.col(column), F.lit(seed)))
+        .orderBy(
+            F.xxhash64(
+                F.col(column),
+                F.monotonically_increasing_id(),
+                F.lit(seed),
+            )
+        )
         .limit(max_n)
         .collect()
     ]

@@ -178,7 +178,13 @@ def write_excel_report(frames: "dict[str, DataFrame]", path: str,
         have_openpyxl = True
     except ImportError:
         have_openpyxl = False
-    import pandas as pd
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "pandas required for the Excel report sink; "
+            "use write_output for parquet/csv/json"
+        ) from e
 
     seen: dict[str, int] = {}
     sheets: dict[str, tuple] = {}

@@ -320,14 +320,47 @@ def neardup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        part = spark._jvm.org.apache.hadoop.fs.Path(
+        jvm = spark._jvm
+        part = jvm.org.apache.hadoop.fs.Path(
             f"{corpus_dir}/batch_id={batch_id}"
         )
         fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(part):
+        # _committed is written only AFTER the partition write finishes
+        # (underscore prefix = invisible to Spark readers). Bare
+        # directory existence is NOT a commit signal: a crash mid-job
+        # leaves a partial batch_id=N dir, and skipping the write on
+        # its existence would silently drop the batch's missing rows
+        # from the corpus and the banded store forever.
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{corpus_dir}/batch_id={batch_id}/_committed"
+        )
+        committed = fs.exists(marker)
+        if not committed and fs.exists(part):
+            # no marker: either a crashed partial write (manifest has
+            # never seen the files — incremental_neardup only runs
+            # after the marker) or a pre-marker layout whose files the
+            # manifest DOES know; rewriting the latter would mint new
+            # part-file names and trip the append-only contract.
+            import json as _json
+            import os as _os
+            import re as _re
+
+            mpath = _os.path.join(state_dir, "neardup_manifest.json")
+            known: list[str] = []
+            if _os.path.exists(mpath):
+                with open(mpath) as f:
+                    known = _json.load(f).get("files", [])
+            strip = lambda p: _re.sub(r"^[a-z0-9+.-]+://", "", p)  # noqa: E731
+            prefix = strip(part.toString()).rstrip("/") + "/"
+            if any(strip(f).startswith(prefix) for f in known):
+                committed = True  # adopted pre-marker committed layout
+            else:
+                fs.delete(part, True)  # partial write; manifest unaware
+        if not committed:
             _write_batch_partition(
                 batch_df.select(id_col, text_col), corpus_dir, batch_id
             )
+        fs.create(marker, True).close()
         res = incremental_neardup(
             spark, corpus_dir, state_dir,
             id_col=id_col, text_col=text_col,

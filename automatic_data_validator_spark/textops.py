@@ -470,10 +470,20 @@ def lemmatize_light(word: str) -> str:
     untouched, exactly as wordnet's noun mode leaves them. Remaining
     divergence vs wordnet: nouns whose singular genuinely requires the
     dictionary (e.g. uncountable-only entries) fall through the
-    regular rules."""
+    regular rules, and capitalized forms are lemmatized
+    case-preserved ('Children' -> 'Child') like this function's
+    regular rules ('Tables' -> 'Table'), where wordnet's
+    case-sensitive lookup would return them unchanged."""
     lw = word.lower()
     irr = _IRREGULAR_NOUNS.get(lw)
     if irr is not None:
+        # preserve the input's casing the way the suffix rules below
+        # do naturally — returning the table's lowercase form made
+        # 'Children' the one inconsistent case in the function
+        if word.isupper() and len(word) > 1:
+            return irr.upper()
+        if word[:1].isupper():
+            return irr[:1].upper() + irr[1:]
         return irr
     if len(word) <= 3:
         return word

@@ -32,6 +32,25 @@ _NS_REL = (
 )
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
+# ECMA-376 _xHHHH_ escaping: control characters are invalid in XML 1.0
+# (so raw \x01 in a doc_id would corrupt the whole workbook), and \r —
+# XML-valid — is normalized to \n by every parser on read. Both are
+# escaped the way Excel itself does in sharedStrings; a literal
+# "_xHHHH_" substring gets its leading underscore escaped as _x005F_.
+_X_UNESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
+_X_BAD_TEXT = re.compile("[\x00-\x08\x0b-\x1f]")  # keeps \t \n raw
+_X_BAD_ATTR = re.compile("[\x00-\x1f]")  # attrs also normalize \t \n
+
+
+def _esc_oox(s: str, attr: bool = False) -> str:
+    s = _X_UNESC.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    bad = _X_BAD_ATTR if attr else _X_BAD_TEXT
+    return bad.sub(lambda m: "_x%04X_" % ord(m.group()), s)
+
+
+def _unesc_oox(s: str) -> str:
+    return _X_UNESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
 
 def _col_index(letters: str) -> int:
     """'A' -> 0, 'Z' -> 25, 'AA' -> 26."""
@@ -55,10 +74,10 @@ def _si_text(si) -> str:
     """A shared-string item: plain ``<t>`` or rich-text ``<r><t>…``."""
     t = si.find(f"{_NS}t")
     if t is not None:
-        return t.text or ""
-    return "".join(
+        return _unesc_oox(t.text or "")
+    return _unesc_oox("".join(
         (t.text or "") for t in si.iter(f"{_NS}t")
-    )
+    ))
 
 
 def _cell_value(c, shared: list[str]):
@@ -99,7 +118,7 @@ def read_xlsx(path: str) -> "dict[str, list[list]]":
         }
         out: dict[str, list[list]] = {}
         for sh in wb.iter(f"{_NS}sheet"):
-            name = sh.get("name")
+            name = _unesc_oox(sh.get("name"))
             target = rel_map[sh.get(f"{_NS_REL}id")]
             if not target.startswith("xl/"):
                 target = "xl/" + target
@@ -153,7 +172,7 @@ def _sheet_xml(columns: list[str], rows: "list[list]") -> bytes:
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-            f"{escape(str(v))}</t></is></c>"
+            f"{escape(_esc_oox(str(v)))}</t></is></c>"
         )
 
     for rix, vals in enumerate([list(columns)] + [list(r) for r in rows]):
@@ -200,10 +219,12 @@ def write_xlsx(path: str, sheets: "dict[str, tuple[list[str], list[list]]]") -> 
             'Target="xl/workbook.xml"/></Relationships>',
         )
         # attribute context: escape() alone leaves double quotes raw,
-        # which would terminate the name="…" attribute early
+        # which would terminate the name="…" attribute early; control
+        # chars AND \t \n \r need _xHHHH_ (attribute-value
+        # normalization would fold the whitespace ones to spaces)
         sheet_tags = "".join(
-            f'<sheet name={quoteattr(n)} sheetId="{i + 1}" '
-            f'r:id="rId{i + 1}"/>'
+            f'<sheet name={quoteattr(_esc_oox(n, attr=True))} '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         z.writestr(

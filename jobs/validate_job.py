@@ -211,13 +211,23 @@ def main(argv: list[str] | None = None) -> int:
             drift_signals=signals_fn,
             drift_group_by=args.drift_group_by,
         )
+        from pyspark.sql import functions as F
+
         from automatic_data_validator_spark.state import (
             run_summary as _run_summary,
         )
 
+        # summarize THIS run only: the merged frames span every
+        # increment ever validated (plus the expired -1 base whose
+        # duration is a SUM across rolled-up increments), so an
+        # all-history run_summary would report a wall_s covering days
+        # of state lifetime for a 30-second delta run
+        cur = F.col("increment") == F.lit(ires.increment)
         outputs = {"verdicts": ires.verdicts, "violations": ires.violations,
                    "lineage": ires.lineage,
-                   "run_summary": _run_summary(ires.lineage, ires.verdicts)}
+                   "run_summary": _run_summary(
+                       ires.lineage.filter(cur),
+                       ires.verdicts.filter(cur))}
         if ires.metrics is not None:
             outputs["metrics"] = ires.metrics
         _wop(outputs, args.output)

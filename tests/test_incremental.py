@@ -374,6 +374,11 @@ def test_incremental_job_flag(spark, tmp_path):
     assert rc == 1  # synth injects violations
     v1 = spark.read.parquet(f"{base}/out/verdicts")
     assert v1.agg(F.sum("row_count")).collect()[0][0] > 0
+    boot_checked = (
+        spark.read.parquet(f"{base}/out/run_summary")
+        .filter("phase = '__run__'")
+        .collect()[0]["row_count"]
+    )
     make_documents(spark, 500, n_media=100, seed=9, num_partitions=1).write.mode(
         "append"
     ).parquet(f"{base}/docs")
@@ -381,9 +386,14 @@ def test_incremental_job_flag(spark, tmp_path):
     assert rc == 1
     merged = spark.read.parquet(f"{base}/out/violations")
     assert merged.select("increment").distinct().count() == 2
-    # run-summary parity with the full-run job path
+    # run-summary parity with the full-run job path — and it covers
+    # THIS run only: summarizing the merged all-increment lineage
+    # would report the 2000-doc bootstrap's rows (and its wall clock)
+    # for a 500-doc delta run
     summ = spark.read.parquet(f"{base}/out/run_summary")
     assert summ.filter("phase = '__run__'").count() == 1
+    delta_checked = summ.filter("phase = '__run__'").collect()[0]["row_count"]
+    assert delta_checked < boot_checked, (delta_checked, boot_checked)
 
     # retention rides the run: a third increment with --expire-keep-last
     # rolls increments 0-1 into the -1 base after writing outputs
@@ -860,3 +870,44 @@ def test_expire_increments_resumes_after_partial_crash(spark, tmp_path):
     # verdicts had nothing newly expirable, violations still expired
     assert "verdicts" not in rep2
     assert rep2["violations"] == (2, 0)
+
+
+def test_incremental_sees_hive_partition_columns(spark, tmp_path):
+    """A corpus laid out as hive partitions (/docs/ds=…/part-*.parquet)
+    must validate identically in incremental mode: the delta is read as
+    leaf files, which disables partition discovery unless basePath is
+    set — without it every increment (bootstrap included) silently
+    dropped the ds column from rules/profile while a full
+    run_validation over the same path saw it."""
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+
+    docs = make_documents(spark, 1200, n_media=100, seed=42).withColumn(
+        "ds", F.when(F.xxhash64("doc_id") % 2 == 0, "2026-08-01")
+        .otherwise("2026-08-02")
+    )
+    docs.write.mode("append").partitionBy("ds").parquet(corpus)
+    r1 = validate_incremental(spark, corpus, state)
+    assert r1.delta_rows == 1200
+    # the partition column is profiled like any other column
+    m1 = {r["column"] for r in r1.metrics.collect()}
+    assert "ds" in m1, sorted(m1)
+
+    # and the next increment merges it consistently with a full run
+    make_documents(spark, 300, n_media=100, seed=9).withColumn(
+        "ds", F.lit("2026-08-03")
+    ).write.mode("append").partitionBy("ds").parquet(corpus)
+    r2 = validate_incremental(spark, corpus, state)
+    full = run_validation(
+        spark, spark.read.parquet(corpus), with_profile=True
+    )
+    inc_m = {
+        (r["column"], r["metric"]): r["value"] for r in r2.metrics.collect()
+    }
+    full_m = {
+        (r["column"], r["metric"]): r["value"] for r in full.metrics.collect()
+    }
+    assert set(inc_m) == set(full_m)
+    for k, v in full_m.items():
+        if isinstance(v, float) and not math.isnan(v):
+            assert inc_m[k] == pytest.approx(v, rel=1e-9, abs=1e-9), k

@@ -146,3 +146,30 @@ def test_shapiro_wilk_column_reference_parity(spark):
     assert e["is_normal"] is False and e["p_value"] < 0.001, e
     # deterministic: same seed -> identical result
     assert shapiro_wilk_column(df, "gauss") == g
+
+
+def test_shapiro_wilk_column_low_cardinality_unbiased_sample(spark):
+    """The sample must be uniform over ROWS: hashing the value alone
+    sorts all duplicates of a value adjacently, so a 20-distinct-value
+    column used to come back as 5000 copies of the 1-2 lowest-hashing
+    values. Every distinct value of a uniform 20-value column must
+    appear in the 5000-row draw."""
+    import pandas as pd
+
+    from automatic_data_validator_spark.profile import shapiro_wilk_column
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "rating": [float(i % 20) for i in range(40000)],
+    }))
+    # reproduce the sample the wrapper draws (same key, same cap)
+    sample = [
+        r[0]
+        for r in df.select(F.col("rating").cast("double"))
+        .orderBy(F.xxhash64(F.col("rating"),
+                            F.monotonically_increasing_id(), F.lit(42)))
+        .limit(5000)
+        .collect()
+    ]
+    assert len(set(sample)) == 20, sorted(set(sample))
+    out = shapiro_wilk_column(df, "rating")
+    assert out["n"] == 5000 and out["is_normal"] is False

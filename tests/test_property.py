@@ -193,12 +193,11 @@ def spark_sess(spark):
 # SpreadsheetML writer/reader must preserve arbitrary report cells.
 
 _XLSX_TEXT = st.text(
-    # printable XML-encodable chars; \r excluded because XML 1.0
-    # parsers normalize \r\n -> \n on read (a documented limitation,
-    # same reason openpyxl escapes it as _x000D_)
-    alphabet=st.characters(
-        codec="utf-8", exclude_categories=("Cc", "Cs"), exclude_characters="\r"
-    ),
+    # full utf-8 range INCLUDING control chars and \r: the writer
+    # escapes XML-invalid/normalized chars as ECMA-376 _xHHHH_ and the
+    # reader reverses it, so everything round-trips (raw \x01 used to
+    # corrupt the workbook; \r used to come back as \n)
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
     max_size=40,
 )
 
@@ -224,9 +223,7 @@ def _expected_cell(v):
 @settings(max_examples=40, deadline=None)
 @given(
     name=st.text(
-        alphabet=st.characters(
-            codec="utf-8", exclude_categories=("Cc", "Cs"), exclude_characters="\r"
-        ),
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
         min_size=1,
         max_size=20,
     ),

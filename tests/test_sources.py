@@ -146,6 +146,22 @@ def test_xlsx_nan_inf_and_quoted_sheet_names(tmp_path):
     )
 
 
+def test_xlsx_control_chars_escape_ecma376(tmp_path):
+    """Raw control characters (e.g. a \\x01 scraped into a doc_id) are
+    invalid XML 1.0 and used to corrupt the workbook; \\r is XML-valid
+    but parsers normalize it to \\n. Both round-trip via the ECMA-376
+    _xHHHH_ escape (what Excel itself writes), including the literal
+    '_xHHHH_' substring case which needs its underscore escaped."""
+    from automatic_data_validator_spark.xlsx import read_xlsx, write_xlsx
+
+    cells = [["\x01ctrl"], ["lit _x0041_ eral"], ["cr\rlf\n tab\t"]]
+    path = str(tmp_path / "ctl.xlsx")
+    write_xlsx(path, {"n\x02ame": (["v"], cells)})
+    back = read_xlsx(path)
+    assert list(back) == ["n\x02ame"]
+    assert back["n\x02ame"][1:] == cells
+
+
 def test_excel_sheet_name_collision_suffix(spark, tmp_path):
     """Two frames whose names collide at Excel's 31-char limit get a
     deterministic suffix instead of a writer-chosen rename."""

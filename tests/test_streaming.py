@@ -356,3 +356,59 @@ def test_neardup_stream_replay_converges_not_wedges(spark, tmp_path):
     assert [(r["id_a"], r["id_b"], r["batch_id"]) for r in pairs] == [
         ("dd-000000000000", "dd-000000000001", 0)
     ]
+
+
+def test_neardup_stream_partial_corpus_write_recovers(spark, tmp_path):
+    """A crash mid corpus-write leaves a partial batch_id=N dir with no
+    _committed marker. Directory existence must NOT be read as a
+    commit: the replay deletes the partial partition and rewrites it
+    (the manifest has never seen those files — incremental_neardup
+    only runs after the marker), so no document is silently dropped
+    from the corpus or the banded store. A marker-LESS partition whose
+    files the manifest DOES know (pre-marker layout) is adopted as
+    committed instead of rewritten."""
+    import os
+
+    from automatic_data_validator_spark.synth import make_neardup_corpus
+    from automatic_data_validator_spark.streaming import neardup_stream
+
+    src = str(tmp_path / "in")
+    docs = make_neardup_corpus(spark, 200, 2, seed=7).coalesce(1)
+    docs.write.mode("append").parquet(src)
+
+    # simulate the crashed partial write: one doc of the near-dup pair
+    # present, everything else missing, no _committed marker
+    docs.filter("doc_id = 'dd-000000000000'").select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "corpus" / "batch_id=0"))
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+        q = neardup_stream(
+            stream, str(tmp_path / "corpus"), str(tmp_path / "state"),
+            str(tmp_path / "out"), ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(str(tmp_path / "ckpt1"))
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert corpus.count() == 200  # partial partition was rewritten whole
+    pairs = spark.read.parquet(str(tmp_path / "out") + "/pairs").collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [
+        ("dd-000000000000", "dd-000000000001")
+    ]
+    marker = str(tmp_path / "corpus" / "batch_id=0" / "_committed")
+    assert os.path.exists(marker)
+
+    # pre-marker committed layout: marker gone but the manifest knows
+    # the partition's files -> adopt, never rewrite (append-only safe)
+    os.remove(marker)
+    files_before = sorted(corpus.inputFiles())
+    run_once(str(tmp_path / "ckpt2"))
+    assert sorted(
+        spark.read.parquet(str(tmp_path / "corpus")).inputFiles()
+    ) == files_before
+    assert os.path.exists(marker)

@@ -139,6 +139,10 @@ def test_stem_text_udf_and_lemmatizer(spark):
     # irregular nouns (r5: wordnet-noun-mode parity table); verbs
     # untouched, matching WordNetLemmatizer's default pos='n'
     assert lemmatize_light("children") == "child"
+    # capitalized irregulars stay case-preserved like the regular
+    # rules ('Tables' -> 'Table'), not lowercased by the table
+    assert lemmatize_light("Children") == "Child"
+    assert lemmatize_light("CHILDREN") == "CHILD"
     assert lemmatize_light("mice") == "mouse"
     assert lemmatize_light("analyses") == "analysis"
     assert lemmatize_light("leaves") == "leaf"
