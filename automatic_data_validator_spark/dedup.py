@@ -1343,6 +1343,8 @@ def incremental_neardup(
     import os as _os
 
     from .incremental import (
+        _commit_manifest,
+        _file_delta,
         _read_store,
         _refuse_crashed_compaction,
         _write_inc,
@@ -1369,19 +1371,12 @@ def incremental_neardup(
             f"({manifest['params']} -> {params}); signatures cannot "
             "merge — re-bootstrap with a fresh state_dir"
         )
-    corpus = spark.read.parquet(corpus_path)
-    all_files = sorted(corpus.inputFiles())
-    known = set(manifest["files"])
-    removed = known - set(all_files)
-    if removed:
-        raise ValueError(
-            f"{len(removed)} validated file(s) disappeared (e.g. "
-            f"{sorted(removed)[0]}): append-only contract broken — "
-            "re-bootstrap (the banded store keys on doc ids, so a "
-            "row-preserving compaction only needs the manifest "
-            "re-pointed; no rebase helper here yet)"
-        )
-    delta_files = [f for f in all_files if f not in known]
+    corpus, all_files, delta_files = _file_delta(
+        spark, corpus_path, manifest,
+        "re-bootstrap (the banded store keys on doc ids, so a "
+        "row-preserving compaction only needs the manifest "
+        "re-pointed; no rebase helper here yet)",
+    )
     inc = int(manifest["increment"]) + 1
     pairs_path = _os.path.join(state_dir, "pairs")
     def _empty_pairs() -> DataFrame:
@@ -1525,11 +1520,7 @@ def incremental_neardup(
         )[1]
     )
     manifest = {"files": all_files, "increment": inc, "params": params}
-    _os.makedirs(state_dir, exist_ok=True)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f)
-    _os.replace(tmp, mpath)
+    _commit_manifest(mpath, manifest)
     return IncrementalNeardupResult(
         verified, pairs, drop_list, oversize, inc, len(delta_files)
     )

@@ -90,6 +90,43 @@ def _refuse_crashed_compaction(state_dir: str) -> None:
         )
 
 
+def _commit_manifest(mpath: str, manifest: dict) -> None:
+    """THE manifest commit: atomic tmp-write + rename, LAST in every
+    increment protocol — a crash before this line leaves the prior
+    manifest in force and the crashed increment's partition writes are
+    re-done idempotently on retry. Shared by validate_incremental,
+    expire_increments, rebase_after_compaction, and
+    dedup.incremental_neardup so the crash-commit protocol has exactly
+    one implementation."""
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+
+
+def _file_delta(
+    spark: SparkSession, input_path: str, manifest: dict, remedy: str
+) -> "tuple[DataFrame, list[str], list[str]]":
+    """File-inventory diff against a manifest: returns (full frame,
+    all_files, delta_files) and raises on a removed/rewritten file —
+    the append-only contract both incremental protocols share. At a
+    deployment with millions of files, derive the delta from Iceberg
+    snapshot manifests (snapshot_id diff) instead of this listing —
+    callers' merge machinery is unchanged."""
+    full = spark.read.parquet(input_path)
+    all_files = sorted(full.inputFiles())
+    known = set(manifest["files"])
+    removed = known - set(all_files)
+    if removed:
+        raise ValueError(
+            f"{len(removed)} validated file(s) no longer in the input "
+            f"(e.g. {sorted(removed)[0]}): the append-only contract is "
+            f"broken — {remedy}"
+        )
+    return full, all_files, [f for f in all_files if f not in known]
+
+
 def _key_checksum(loc: DataFrame) -> tuple[int, int]:
     """(rows, hash) over a (doc_id, cnt) aggregate — decimal(38) sum so
     10^12 rows cannot overflow."""
@@ -262,24 +299,12 @@ def validate_incremental(
             "out of the corpus-level result silently — keep the flags "
             "consistent for the state_dir's lifetime, or re-bootstrap"
         )
-    known = set(manifest["files"])
-    # file inventory via the reader's listing; at a deployment with
-    # millions of files, derive the delta from Iceberg snapshot
-    # manifests (snapshot_id diff) instead of this json list — the
-    # merge machinery below is unchanged
-    full = spark.read.parquet(documents_path)
-    all_files = sorted(full.inputFiles())
-    removed = known - set(all_files)
-    if removed:
-        raise ValueError(
-            f"incremental state at {state_dir} knows "
-            f"{len(removed)} file(s) no longer in the input (e.g. "
-            f"{sorted(removed)[0]}); the append-only contract is "
-            "broken — if this was a row-preserving compaction, run "
-            "rebase_after_compaction() first; otherwise start a fresh "
-            "state_dir or run a full validation"
-        )
-    delta_files = [f for f in all_files if f not in known]
+    full, all_files, delta_files = _file_delta(
+        spark, documents_path, manifest,
+        "if this was a row-preserving compaction, run "
+        "rebase_after_compaction() first; otherwise start a fresh "
+        "state_dir or run a full validation",
+    )
     inc = int(manifest["increment"]) + 1
 
     if not delta_files:
@@ -504,11 +529,7 @@ def validate_incremental(
     if prior_expired is not None:
         # retention watermark (expire_increments) survives increments
         manifest["expired_through"] = prior_expired
-    os.makedirs(state_dir, exist_ok=True)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    _commit_manifest(mpath, manifest)
 
     return IncrementalResult(
         _read_store(
@@ -740,10 +761,7 @@ def rebase_after_compaction(
                 "re-bootstrap instead of rebasing"
             )
     manifest["files"] = all_files
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    _commit_manifest(mpath, manifest)
     return len(all_files)
 
 
@@ -885,10 +903,7 @@ def expire_increments(
         report["violations"] = (n_exp, 0 if kept is None else kept.count())
 
     manifest["expired_through"] = through
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    _commit_manifest(mpath, manifest)
     return report
 
 
