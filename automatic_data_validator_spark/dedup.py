@@ -1373,9 +1373,10 @@ def incremental_neardup(
         )
     corpus, all_files, delta_files = _file_delta(
         spark, corpus_path, manifest,
-        "re-bootstrap (the banded store keys on doc ids, so a "
-        "row-preserving compaction only needs the manifest "
-        "re-pointed; no rebase helper here yet)",
+        "if this was a row-preserving compaction, run "
+        "rebase_neardup_after_compaction() first (the banded store "
+        "keys on doc ids, so only the manifest needs re-pointing); "
+        "otherwise re-bootstrap with a fresh state_dir",
     )
     inc = int(manifest["increment"]) + 1
     pairs_path = _os.path.join(state_dir, "pairs")
@@ -1420,6 +1421,16 @@ def incremental_neardup(
     # ordinary columns, but a partitioned corpus must read the same
     # shape here as in one-shot neardup_dedup over the directory)
     delta = spark.read.option("basePath", corpus_path).parquet(*delta_files)
+    # additive id-multiset checksum (same scheme as validate_
+    # incremental's): one id-pruned aggregate over the DELTA, letting
+    # rebase_neardup_after_compaction verify a rewritten corpus
+    from .incremental import _key_checksum
+
+    d_rows, d_hash = _key_checksum(
+        delta.groupBy(F.col(id_col).cast("string").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
     banded_delta = _lsh_band_buckets(
         delta, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
     ).persist()
@@ -1519,8 +1530,39 @@ def incremental_neardup(
             corpus.limit(0), pairs.select("id_a", "id_b"), id_col
         )[1]
     )
-    manifest = {"files": all_files, "increment": inc, "params": params}
+    old_ck = manifest.get("checksum") or {"rows": 0, "hash": 0}
+    manifest = {
+        "files": all_files, "increment": inc, "params": params,
+        "checksum": {
+            "rows": int(old_ck["rows"]) + d_rows,
+            "hash": int(old_ck["hash"]) + d_hash,
+            "key_column": id_col,
+        },
+    }
     _commit_manifest(mpath, manifest)
     return IncrementalNeardupResult(
         verified, pairs, drop_list, oversize, inc, len(delta_files)
+    )
+
+
+def rebase_neardup_after_compaction(
+    spark: Any,
+    corpus_path: str,
+    state_dir: str,
+    verify: bool = True,
+) -> int:
+    """Re-point ``incremental_neardup`` state at a COMPACTED corpus
+    (files rewritten, row multiset unchanged) — closing the same
+    append-only seam ``incremental.rebase_after_compaction`` closes
+    for validation state. The banded/bucket_counts/pairs stores key on
+    doc ids, not file identity, so only the manifest's file inventory
+    goes stale; with ``verify`` the compacted corpus's id multiset is
+    checked against the manifest's additive checksum in ONE id-only
+    scan (state written before checksum support refuses — re-bootstrap
+    or pass verify=False). Returns the new inventory's file count."""
+    from .incremental import rebase_after_compaction
+
+    return rebase_after_compaction(
+        spark, corpus_path, state_dir, verify=verify,
+        manifest_name="neardup_manifest.json",
     )

@@ -710,6 +710,7 @@ def rebase_after_compaction(
     documents_path: str,
     state_dir: str,
     verify: bool = True,
+    manifest_name: str = _MANIFEST,
 ) -> int:
     """Re-point incremental state at a COMPACTED corpus (files
     rewritten, row multiset unchanged) — the operation the append-only
@@ -730,8 +731,13 @@ def rebase_after_compaction(
     rows, the checksum won't match (validate the pre-compaction
     snapshot first, or compact and append in separate snapshots, as
     Iceberg's rewrite_data_files does). Returns the number of files in
-    the new inventory."""
-    mpath = os.path.join(state_dir, _MANIFEST)
+    the new inventory.
+
+    ``manifest_name`` selects which protocol's manifest to re-point:
+    the default is validation state; ``dedup.
+    rebase_neardup_after_compaction`` passes the near-dup manifest
+    (same file-inventory + additive-checksum layout)."""
+    mpath = os.path.join(state_dir, manifest_name)
     if not os.path.exists(mpath):
         raise ValueError(f"no incremental state at {state_dir}")
     _refuse_crashed_compaction(state_dir)

@@ -941,3 +941,71 @@ def test_brute_force_topk_arrow_empty_queries(spark):
     )
     qdf = spark.createDataFrame([], "query_id string, embedding array<double>")
     assert S.brute_force_topk_arrow(vdf, qdf, k=3).count() == 0
+
+
+def test_rebase_neardup_after_compaction(spark, tmp_path):
+    """Corpus compaction (files rewritten, row multiset unchanged) is
+    the one input change the append-only contract forbids; the rebase
+    helper verifies the rewritten corpus's id multiset against the
+    manifest's additive checksum and re-points the inventory, so the
+    banded store keeps pairing new docs. A rewrite that changed the
+    multiset must refuse."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "nd_state")
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        pd.DataFrame([("a", body + " x1"), ("b", "unrelated words here one")],
+                     columns=["doc_id", "text"])
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    D.incremental_neardup(spark, corpus, state, "doc_id", "text",
+                          jaccard_threshold=0.5)
+    spark.createDataFrame(
+        pd.DataFrame([("c", "other unrelated text two")],
+                     columns=["doc_id", "text"])
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    D.incremental_neardup(spark, corpus, state, "doc_id", "text",
+                          jaccard_threshold=0.5)
+
+    # row-preserving compaction: rewrite the 2-file corpus as 1 file
+    compacted = spark.read.parquet(corpus).coalesce(1)
+    tmp_out = str(tmp_path / "docs_compact")
+    compacted.write.mode("overwrite").parquet(tmp_out)
+    for f in glob.glob(f"{corpus}/*.parquet"):
+        os.remove(f)
+    for f in glob.glob(f"{tmp_out}/*.parquet"):
+        shutil.move(f, os.path.join(corpus, os.path.basename(f)))
+
+    # the contract refuses until the manifest is re-pointed
+    with pytest.raises(ValueError, match="rebase_neardup"):
+        D.incremental_neardup(spark, corpus, state, "doc_id", "text",
+                              jaccard_threshold=0.5)
+    n = D.rebase_neardup_after_compaction(spark, corpus, state)
+    assert n == 1
+
+    # the next increment pairs a near-copy of a PRE-compaction doc via
+    # the persisted banded store (never re-signed)
+    spark.createDataFrame(
+        pd.DataFrame([("d", body + " x2")], columns=["doc_id", "text"])
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    r = D.incremental_neardup(spark, corpus, state, "doc_id", "text",
+                              jaccard_threshold=0.5)
+    assert sorted(
+        (x["id_a"], x["id_b"]) for x in r.new_pairs.collect()
+    ) == [("a", "d")]
+
+    # a corrupt rewrite (row dropped) must refuse the rebase
+    dropped = spark.read.parquet(corpus).filter("doc_id <> 'b'").coalesce(1)
+    tmp_out2 = str(tmp_path / "docs_corrupt")
+    dropped.write.mode("overwrite").parquet(tmp_out2)
+    for f in glob.glob(f"{corpus}/*.parquet"):
+        os.remove(f)
+    for f in glob.glob(f"{tmp_out2}/*.parquet"):
+        shutil.move(f, os.path.join(corpus, os.path.basename(f)))
+    with pytest.raises(ValueError, match="row multiset"):
+        D.rebase_neardup_after_compaction(spark, corpus, state)
