@@ -175,12 +175,17 @@ def test_uniqueness_check_leaves_no_cache_behind(spark, docs):
     the call once the caller releases the violations frame."""
     spark.catalog.clearCache()
     docs.cache().count()  # the fixture itself is cached — re-pin it
+    jsc = spark.sparkContext._jsc.sc()
+    # DELTA assertion, not an absolute count: clearCache() does not
+    # release localCheckpoint RDDs other tests in the shared session
+    # may still hold (ngram_jaccard / incremental_neardup), so an
+    # absolute bound flakes under randomized test order
+    before = jsc.getPersistentRDDs().size()
     _v, viol = D.uniqueness_check(docs, "doc_id")
     viol.count()
     viol.unpersist()
-    jsc = spark.sparkContext._jsc.sc()
     leftovers = jsc.getPersistentRDDs().size()
-    assert leftovers <= 1  # only the docs fixture cache remains
+    assert leftovers <= before  # the call pinned nothing new
 
 
 def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
