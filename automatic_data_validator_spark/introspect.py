@@ -16,6 +16,8 @@ def input_records(spark) -> int:
     stages (AppStatusStore). Take a snapshot before a job and diff
     after; delta / input rows = number of input scans. Only finished
     stages are counted, so call after an action has returned."""
+    import time
+
     sc = spark.sparkContext._jsc.sc()
     try:
         # the status store is fed by an ASYNC listener bus: under host
@@ -27,8 +29,28 @@ def input_records(spark) -> int:
         sc.listenerBus().waitUntilEmpty(10000)
     except Exception:
         pass
-    store = sc.statusStore()
-    empty = spark._jvm.java.util.Collections.emptyList()
-    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    stages = store.stageList(empty, *args)
-    return sum(stages.apply(i).inputRecords() for i in range(stages.size()))
+
+    def _read() -> int:
+        store = sc.statusStore()
+        empty = spark._jvm.java.util.Collections.emptyList()
+        args = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+        stages = store.stageList(empty, *args)
+        return sum(
+            stages.apply(i).inputRecords() for i in range(stages.size())
+        )
+
+    # waitUntilEmpty can time out silently (it returns a bool this
+    # ignores), and a stage completing between a caller's before/after
+    # snapshots mis-attributes its records to the measured delta —
+    # observed as order-dependent flakes in the scan-budget tests.
+    # Quiesce: re-read until two consecutive snapshots agree.
+    prev = _read()
+    for _ in range(20):
+        time.sleep(0.1)
+        cur = _read()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
