@@ -54,3 +54,48 @@ def input_records(spark) -> int:
             return cur
         prev = cur
     return prev
+
+
+def _stage_rows(spark) -> "dict[int, int]":
+    """{stageId: inputRecords} for all completed stages in the store."""
+    sc = spark.sparkContext._jsc.sc()
+    store = sc.statusStore()
+    empty = spark._jvm.java.util.Collections.emptyList()
+    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    stages = store.stageList(empty, *args)
+    return {
+        stages.apply(i).stageId(): stages.apply(i).inputRecords()
+        for i in range(stages.size())
+    }
+
+
+def scan_records(spark, action) -> int:
+    """Run ``action()`` and return the input records read by the
+    stages IT submitted — scoped by stage id, so a straggler stage
+    from earlier work completing mid-measurement (or a store eviction)
+    cannot pollute the figure the way a global-sum before/after diff
+    can. Use this for scan-budget assertions in long shared sessions;
+    ``input_records`` diffs remain fine for one-shot scripts."""
+    import time
+
+    sc = spark.sparkContext._jsc.sc()
+    try:
+        sc.listenerBus().waitUntilEmpty(10000)
+    except Exception:
+        pass
+    before = _stage_rows(spark)
+    max_before = max(before, default=-1)
+    action()
+    try:
+        sc.listenerBus().waitUntilEmpty(10000)
+    except Exception:
+        pass
+    prev = None
+    for _ in range(20):
+        cur = _stage_rows(spark)
+        new = sum(v for k, v in cur.items() if k > max_before)
+        if new == prev:
+            break
+        prev = new
+        time.sleep(0.1)
+    return prev or 0
