@@ -256,9 +256,11 @@ def test_sorted_table_range_scan_skips_files(spark, tmp_path):
     assert "GreaterThanOrEqual(doc_id,doc-000000070000)" in plan.split(
         "PushedFilters: "
     )[1].splitlines()[0]
-    # sorted: only the file(s) whose range intersects the predicate
-    # (≤ 2 of 8 — range boundaries are sampled, so the cut may not
-    # land exactly on the predicate constant); shuffled: every file's
-    # min/max spans the whole keyspace, nothing is skipped
-    assert reads["sorted"] <= n // 4, reads
+    # sorted: only the file(s) whose range intersects the predicate.
+    # repartitionByRange SAMPLES its boundaries, so the cut may not
+    # land on the predicate constant AND the files are slightly uneven
+    # — in-suite RNG state once produced a 20,078-row top-2 (25.1%)
+    # against a 2-of-8 (25.0%) bound. Allow 3 of 8 files: still
+    # unambiguously O(selectivity), not the shuffled copy's 100%.
+    assert reads["sorted"] <= 3 * n // 8, reads
     assert reads["shuffled"] >= int(n * 0.95), reads
