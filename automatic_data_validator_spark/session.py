@@ -74,6 +74,21 @@ def get_spark(
         # would silently shrink deltas in long sessions
         .config("spark.ui.retainedStages", "100000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-parallelism floor for small inputs (guide §2/§6): Spark
+        # sizes splits as min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/defaultParallelism)) — the 4MB openCost default
+        # (sized for spinning disks) floors the split size, so a 6-25MB
+        # table scans in 2-7 tasks on 32 cores and every downstream
+        # per-row operator (Arrow UDF signing included) runs at 1/5th
+        # the machine. 256KB matches NVMe/object-store open cost;
+        # LARGE inputs are unaffected (totalBytes/parallelism then
+        # dominates the max, capped by maxPartitionBytes as before) —
+        # i.e. the change is scale-adaptive by construction, not a
+        # local[32] constant. Parameterized for cluster profiles.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "262144"),
+        )
         # Throughput GC: at high local thread counts the default G1
         # collector serializes allocation-heavy operators (nested-array
         # scans, HLL over structs) — measured 8x slower at local[32].

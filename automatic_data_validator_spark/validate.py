@@ -275,15 +275,21 @@ def run_validation(
             .agg(F.count(F.lit(1)).alias("row_count"))
         )
 
+    rr_cell: dict[str, DataFrame] = {}
+
+    def _rr_fn():
+        vdf, viol = (
+            row_rules_fused()
+            if use_fused
+            else R.evaluate_row_rules(documents, row_rules, key_column)
+        )
+        rr_cell["viol"] = viol
+        return vdf, viol
+
     def row_rules_task():
         """Pool task: run the row-rules phase and publish its totals."""
         try:
-            vdf = run_phase(
-                "row_rules",
-                row_rules_fused
-                if use_fused
-                else lambda: R.evaluate_row_rules(documents, row_rules, key_column),
-            )
+            vdf = run_phase("row_rules", _rr_fn)
             totals = vdf.filter(F.col("rule_id") == row_rules[0].rule_id)
             totals_future.set_result(
                 totals.select("partition_id", "row_count")
@@ -293,10 +299,28 @@ def run_validation(
                     for r in totals.collect()
                 }
             )
-            return vdf
         except BaseException as e:
             totals_future.set_exception(e)
             raise
+        # Materialize the row-rules violation rows NOW — strictly after
+        # the totals future is published (the other phases block on it)
+        # so this sparse filter scan overlaps the uniqueness/referential
+        # scans instead of running serially when the caller first
+        # writes res.violations (guide §2.6: fill the tail). The TOTAL
+        # input-scan count is unchanged (the write-side scan moves into
+        # the run; pinned by test_fused_run_cuts_input_scans) and only
+        # the small violation row set is stored. Skipped in spill mode
+        # (violations at 10^12-doc scale should stream to the caller's
+        # sink, not into block storage) and under checkpointing (the
+        # phase machinery already writes+reads-back violations there).
+        raw = rr_cell.get("viol")
+        if not spill and ckpt is None and raw is not None:
+            ck = raw.localCheckpoint(eager=True)
+            with _acc_lock:
+                for i2, fr in enumerate(violation_parts):
+                    if fr is raw:
+                        violation_parts[i2] = ck
+        return vdf
 
     tasks: list[tuple[str, Any]] = []
     if check_uniqueness or any(r.kind == "unique_key" for r in rule_set):

@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Stage-level benchmark instrumentation (guide §1.4/§1.5) — NOT the
+driver's bench (bench.py is frozen). Prints one JSON line with
+per-stage wall times for the expensive composites so optimizations can
+be attributed: dedup_e2e (sign/candidates/verify/cc/anti-join),
+validate_e2e (per-phase from lineage + write), incremental delta, the
+minhash micro with scan parallelism recorded, and noop-sink timings of
+the headline queries (computation only, no count() column pruning).
+
+Env contract mirrors bench.py: $SPARK_GRAFT_SF_DIR, $SPARK_GRAFT_CPUS.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+
+    from pyspark.sql import functions as F
+
+    from automatic_data_validator_spark.session import get_spark
+    from automatic_data_validator_spark.synth import (
+        make_documents, make_media_catalog, make_neardup_corpus,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("advs-bench-extra", parallelism=cpus,
+                      shuffle_partitions=cpus * 2)
+    sc = spark.sparkContext
+    out: dict = {"cpus": cpus, "sf_dir": sf_dir}
+
+    def timed(name: str, fn):
+        sc.setJobDescription(name)
+        t0 = time.perf_counter()
+        r = fn()
+        dt = time.perf_counter() - t0
+        out[name] = round(dt, 3)
+        sc.setJobDescription(None)
+        log(f"{name}: {dt:.3f}s")
+        return r
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # --- headline queries: noop sink, best-of-2, scan parallelism ---
+    headline = [
+        "q01_pricing_summary", "q05_quantiles", "q12_corr_matrix",
+        "q20_window_topk_orders", "q23_unique_key_violations",
+        "q26_token_counts", "q28_quality_flags", "q31_ann_cosine_topk",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        df = qs[name](spark, sf_dir)
+        noop(df)  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            noop(df)
+            best = min(best, time.perf_counter() - t0)
+        out[f"noop_{name}"] = round(best, 3)
+        log(f"noop_{name}: {best:.3f}s")
+
+    # scan split counts for the tables feeding the headline queries
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            out[f"splits_{t}"] = spark.read.parquet(p).rdd.getNumPartitions()
+
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="advs_benchx_")
+
+    # --- minhash micro: kernel-only timing + partition count ---
+    from automatic_data_validator_spark.dedup import minhash_signature
+
+    txt = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_n = txt.count()
+    big = txt
+    import math
+
+    if 0 < base_n < 160_000:
+        for _ in range(math.ceil(math.log2(160_000 / base_n))):
+            big = big.unionByName(big)
+    big = big.cache()
+    n_txt = big.count()
+    out["minhash_partitions"] = big.rdd.getNumPartitions()
+    out["minhash_docs"] = n_txt
+    probe = F.sum(F.pmod(F.element_at(minhash_signature("text"), 1), F.lit(997)))
+    big.limit(2000).select(probe).collect()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        big.select(probe).collect()
+        best = min(best, time.perf_counter() - t0)
+    out["minhash_sig_160k"] = round(best, 3)
+    log(f"minhash_sig_160k: {best:.3f}s over {n_txt} docs "
+        f"in {out['minhash_partitions']} partitions")
+    big.unpersist()
+
+    # --- dedup e2e staged ---
+    from automatic_data_validator_spark.dedup import (
+        _lsh_band_buckets, _pairs_from_banded, ngram_jaccard,
+        dedup_keep_representatives,
+    )
+    from automatic_data_validator_spark import config
+
+    n_dd, n_pair_docs = 160_000, 16_000
+    make_neardup_corpus(spark, n_dd, n_pair_docs, seed=7).write.mode(
+        "overwrite").parquet(f"{work}/dedup_corpus")
+    ddf = spark.read.parquet(f"{work}/dedup_corpus")
+    out["dedup_corpus_partitions"] = ddf.rdd.getNumPartitions()
+    # warm-up (Python worker spawn + numpy import)
+    make_neardup_corpus(spark, 5_000, 500, seed=8).write.mode(
+        "overwrite").parquet(f"{work}/dedup_warm")
+    from automatic_data_validator_spark.dedup import neardup_dedup
+
+    for f in neardup_dedup(spark.read.parquet(f"{work}/dedup_warm")):
+        f.count()
+
+    banded = timed(
+        "dd_sign_band",
+        lambda: _lsh_band_buckets(ddf, "doc_id", "text", 16, 16, 3).persist(),
+    )
+    timed("dd_sign_band_materialize", lambda: banded.count())
+    cand = timed(
+        "dd_candidates",
+        lambda: _pairs_from_banded(
+            banded, config.LSH_MAX_BUCKET_SIZE
+        ).localCheckpoint(eager=True),
+    )
+    verified = timed(
+        "dd_verify",
+        lambda: ngram_jaccard(ddf, "doc_id", "text", cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .localCheckpoint(eager=True),
+    )
+    timed(
+        "dd_oversize",
+        lambda: banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > config.LSH_MAX_BUCKET_SIZE)
+        .localCheckpoint(eager=True),
+    )
+    banded.unpersist()
+    kept_drop = timed(
+        "dd_cc_droplist",
+        lambda: dedup_keep_representatives(
+            ddf, verified.select("id_a", "id_b"), "doc_id"
+        ),
+    )
+    kept, drop = kept_drop
+    timed("dd_counts", lambda: (kept.count(), drop.count(), verified.count()))
+
+    # --- validate e2e: run + per-phase lineage + write ---
+    from automatic_data_validator_spark.sources import write_outputs_parallel
+    from automatic_data_validator_spark.validate import run_validation
+
+    n_media = max(n_docs // 100, 1000)
+    make_documents(spark, n_docs, n_media=n_media, seed=42).write.mode(
+        "overwrite").parquet(f"{work}/documents")
+    make_media_catalog(spark, n_media, seed=42).write.mode(
+        "overwrite").parquet(f"{work}/media_catalog")
+    docs = spark.read.parquet(f"{work}/documents")
+    catalog = spark.read.parquet(f"{work}/media_catalog")
+    out["docs_partitions"] = docs.rdd.getNumPartitions()
+    # warm
+    make_documents(spark, max(n_docs // 20, 1000), n_media=n_media,
+                   seed=43).write.mode("overwrite").parquet(f"{work}/dw")
+    w = run_validation(spark, spark.read.parquet(f"{work}/dw"),
+                       catalog=catalog)
+    write_outputs_parallel(
+        {"violations": w.violations, "verdicts": w.verdicts,
+         "metrics": w.metrics}, f"{work}/ow")
+    for trial in range(2):
+        res = timed(f"e2e_run_validation_{trial}",
+                    lambda: run_validation(spark, docs, catalog=catalog,
+                                           with_profile=True))
+        timed(f"e2e_write_{trial}",
+              lambda: write_outputs_parallel(
+                  {"violations": res.violations, "verdicts": res.verdicts,
+                   "metrics": res.metrics}, f"{work}/out"))
+    for r in res.lineage.select("phase", "duration_s").collect():
+        out[f"phase_{r['phase']}"] = max(
+            out.get(f"phase_{r['phase']}", 0.0), float(r["duration_s"] or 0)
+        )
+
+    # --- incremental delta ---
+    from automatic_data_validator_spark.incremental import validate_incremental
+
+    timed("inc_bootstrap",
+          lambda: validate_incremental(spark, f"{work}/documents",
+                                       f"{work}/inc_state", catalog=catalog))
+    delta_docs = max(n_docs // 20, 1000)
+    make_documents(spark, delta_docs, n_media=n_media, seed=99).withColumn(
+        "doc_id", F.concat(F.lit("inc1-"), F.col("doc_id"))
+    ).write.mode("append").parquet(f"{work}/documents")
+    timed("inc_delta",
+          lambda: validate_incremental(spark, f"{work}/documents",
+                                       f"{work}/inc_state", catalog=catalog))
+
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -221,13 +221,23 @@ def main(argv: list[str] | None = None) -> int:
         # increment ever validated (plus the expired -1 base whose
         # duration is a SUM across rolled-up increments), so an
         # all-history run_summary would report a wall_s covering days
-        # of state lifetime for a 30-second delta run
-        cur = F.col("increment") == F.lit(ires.increment)
+        # of state lifetime for a 30-second delta run. On a ZERO-delta
+        # run ires.increment is the PREVIOUS increment (early return),
+        # so filtering to it would report the prior run's counts as
+        # this run's — or an empty frame if that increment was already
+        # expired into the -1 base; emit an explicit 0-row no-op
+        # summary instead (round-5 ADVICE).
+        if ires.n_delta_files == 0:
+            summary = _run_summary(
+                ires.lineage.limit(0), ires.verdicts.limit(0)
+            )
+        else:
+            cur = F.col("increment") == F.lit(ires.increment)
+            summary = _run_summary(
+                ires.lineage.filter(cur), ires.verdicts.filter(cur)
+            )
         outputs = {"verdicts": ires.verdicts, "violations": ires.violations,
-                   "lineage": ires.lineage,
-                   "run_summary": _run_summary(
-                       ires.lineage.filter(cur),
-                       ires.verdicts.filter(cur))}
+                   "lineage": ires.lineage, "run_summary": summary}
         if ires.metrics is not None:
             outputs["metrics"] = ires.metrics
         _wop(outputs, args.output)

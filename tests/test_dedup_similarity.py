@@ -646,12 +646,85 @@ def test_connected_components_single_action_per_round(spark, monkeypatch):
 
     monkeypatch.setattr(cls, "collect", spy_collect)
     monkeypatch.setattr(cls, "count", spy_count)
-    comps = D.connected_dup_groups(clique)
+    # driver_edge_limit=0 forces the ITERATIVE path this test pins
+    comps = D.connected_dup_groups(clique, driver_edge_limit=0)
     assert len(n_collects) == 2, n_collects
     assert len(n_counts) == 0
     got = {r["doc_id"]: r["component"] for r in oc(comps)}
     comps.unpersist()
     assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_connected_components_driver_path_single_collect(spark, monkeypatch):
+    """The driver union-find fallback (r6): a pair set within
+    CC_DRIVER_EDGE_LIMIT is solved with exactly ONE collect (the
+    limit-probe doubles as the fetch) and no cluster iteration."""
+    clique = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 10, 20], "id_b": [20, 30, 30]})
+    )
+    n_collects: list[int] = []
+    cls = type(clique)
+    oc = cls.collect
+
+    def spy_collect(self):
+        n_collects.append(1)
+        return oc(self)
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    comps = D.connected_dup_groups(clique)
+    assert len(n_collects) == 1, n_collects
+    got = {r["doc_id"]: r["component"] for r in oc(comps)}
+    comps.unpersist()
+    assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    """Driver union-find and iterative min-label propagation agree on
+    a randomized graph (chains + cliques + singleton pairs), and the
+    over-limit/NULL-id cases fall through to the distributed path."""
+    import random
+
+    rng = random.Random(6)
+    edges = set()
+    base = 0
+    for _ in range(20):  # random chains
+        ln = rng.randint(2, 5)
+        for i in range(ln - 1):
+            edges.add((base + i, base + i + 1))
+        base += ln
+    for _ in range(10):  # random extra edges inside a window
+        a = rng.randrange(base)
+        b = rng.randrange(base)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+    )
+    drv = D.connected_dup_groups(pairs)
+    dist = D.connected_dup_groups(pairs, driver_edge_limit=0)
+    got_drv = {(r["doc_id"], r["component"]) for r in drv.collect()}
+    got_dist = {(r["doc_id"], r["component"]) for r in dist.collect()}
+    drv.unpersist()
+    dist.unpersist()
+    assert got_drv == got_dist
+
+    # over-limit falls back to the distributed loop (same results)
+    small_lim = D.connected_dup_groups(pairs, driver_edge_limit=3)
+    got_lim = {(r["doc_id"], r["component"]) for r in small_lim.collect()}
+    small_lim.unpersist()
+    assert got_lim == got_dist
+
+    # NULL ids are not replicated driver-side: must fall through
+    with_null = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a int, id_b int"
+    )
+    a = D.connected_dup_groups(with_null)
+    b = D.connected_dup_groups(with_null, driver_edge_limit=0)
+    ga = {(r["doc_id"], r["component"]) for r in a.collect()}
+    gb = {(r["doc_id"], r["component"]) for r in b.collect()}
+    a.unpersist()
+    b.unpersist()
+    assert ga == gb
 
 
 def test_simhash_bucket_cap_prevents_blowup(spark):

@@ -203,8 +203,10 @@ def test_fused_leaves_no_cache_entries(spark, docs, catalog):
     res.violations.count()
     res.metrics.count()
     n = jsc.getPersistentRDDs().size() - before
-    # at most the two small persisted violation frames added
-    assert n <= 2, n
+    # at most the three small persisted violation frames added (r6:
+    # the row-rules violations are localCheckpoint'ed during the run
+    # so the caller's write does not re-scan the input)
+    assert n <= 3, n
 
 
 def test_fused_run_with_numeric_columns_adds_quantile_pass(spark):
