@@ -805,6 +805,11 @@ def _pairs_from_counted(counted: DataFrame, max_bucket_size: int) -> DataFrame:
         .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
     )
+    return _expand_bucket_lists(grouped)
+
+
+def _expand_bucket_lists(grouped: DataFrame) -> DataFrame:
+    """(band, bucket, _ids sorted) -> distinct (id_a, id_b) pairs."""
     ids = F.col("_ids")
     combos = F.flatten(
         F.transform(
@@ -1372,42 +1377,65 @@ def neardup_dedup(
     (one hash row per band) keeps recall at ~1 for pairs at or above
     jaccard 0.5: the miss probability is (1-j)^bands.
     """
-    # persist the POST-shuffle window-counted frame (r6): candidates
-    # and the oversize audit both derive from it — the signature pass
-    # runs once AND the (band, bucket) shuffle runs once, where the
-    # former pre-shuffle persist re-shuffled the cached rows per
-    # consumer (a full extra 16x|corpus|-row exchange for the audit)
+    # ONE materialization point for everything bucket-derived (r6):
+    # the signature pass, the (band, bucket) window shuffle, and one
+    # bucket-list aggregation produce a single small checkpointed
+    # frame (non-singleton buckets only) from which BOTH the candidate
+    # pairs and the oversize audit are cheap filters. The former shape
+    # persisted the full 16x|corpus|-row counted frame and re-scanned
+    # it per consumer (cache write + a second full cache pass,
+    # measured ~1s of the 160k-doc e2e). The collect_list is
+    # null-guarded by the window count, so a degenerate over-cap
+    # bucket collects an EMPTY list, never a quadratic id list —
+    # the spill-safe cap semantics are unchanged.
     counted = _counted_banded(
         _lsh_band_buckets(
             df, id_col, text_col, num_hashes, bands, shingle_k,
             signature_impl,
         )
-    ).persist()
+    )
+    buckets = (
+        counted.filter(F.col("_n") >= 2)
+        .groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_n") <= max_bucket_size, F.col("_id"))
+                )
+            ).alias("_ids"),
+            # the window count is constant within a bucket
+            F.max("_n").alias("_n"),
+        )
+        .persist()
+    )
     try:
-        cand = _pairs_from_counted(counted, max_bucket_size)
+        cand = _expand_bucket_lists(
+            buckets.filter(F.col("_n") <= max_bucket_size)
+        )
         verified = (
             ngram_jaccard(
                 df, id_col, text_col, cand, shingle_k=shingle_k,
                 broadcast_limit=broadcast_limit,
             )
             .filter(F.col("jaccard") >= jaccard_threshold)
-            # materialized while the counted cache is warm (same reason
-            # as the audit below); blocks are released by the context
-            # cleaner when the frame is GC'd — no caller unpersist
+            # checkpointed so nothing returned replays the signature
+            # chain (no caller unpersist obligation; blocks on GC).
+            # Materializing this is also what materializes the buckets
+            # cache (the single signature pass).
             .localCheckpoint(eager=True)
         )
         oversize = (
-            counted.filter(F.col("_n") > max_bucket_size)
+            buckets.filter(F.col("_n") > max_bucket_size)
             .select(
                 "band", "bucket", F.col("_n").cast("long").alias("n_docs")
             )
-            .distinct()
-            .localCheckpoint(eager=True)  # tiny; materialized while
-            # the counted cache is warm so releasing it below cannot
-            # trigger a second signature pass
+            # materialized while the buckets cache is warm: the lazy
+            # filter would replay the whole signature chain after the
+            # unpersist below
+            .localCheckpoint(eager=True)
         )
     finally:
-        counted.unpersist()
+        buckets.unpersist()
     kept, drop_list = dedup_keep_representatives(
         df, verified.select("id_a", "id_b"), id_col
     )
@@ -1657,8 +1685,18 @@ def incremental_neardup(
             .localCheckpoint(eager=True)
         )
 
-        _write_inc(banded_delta, _os.path.join(state_dir, "banded"), inc)
-        _write_inc(delta_counts, _os.path.join(state_dir, "bucket_counts"), inc)
+        # banded/bucket_counts scale with delta x bands — keep their
+        # natural partitioning (num_files=None) rather than the small-
+        # store 4-file cap, which would bottleneck a large delta's
+        # store write through 4 tasks
+        _write_inc(
+            banded_delta, _os.path.join(state_dir, "banded"), inc,
+            num_files=None,
+        )
+        _write_inc(
+            delta_counts, _os.path.join(state_dir, "bucket_counts"), inc,
+            num_files=None,
+        )
         _write_inc(verified, pairs_path, inc)
     finally:
         banded_delta.unpersist()

@@ -109,8 +109,8 @@ def main() -> None:
 
     # --- dedup e2e staged ---
     from automatic_data_validator_spark.dedup import (
-        _lsh_band_buckets, _pairs_from_banded, ngram_jaccard,
-        dedup_keep_representatives,
+        _counted_banded, _lsh_band_buckets, _pairs_from_counted,
+        ngram_jaccard, dedup_keep_representatives,
     )
     from automatic_data_validator_spark import config
 
@@ -127,15 +127,17 @@ def main() -> None:
     for f in neardup_dedup(spark.read.parquet(f"{work}/dedup_warm")):
         f.count()
 
-    banded = timed(
+    counted = timed(
         "dd_sign_band",
-        lambda: _lsh_band_buckets(ddf, "doc_id", "text", 16, 16, 3).persist(),
+        lambda: _counted_banded(
+            _lsh_band_buckets(ddf, "doc_id", "text", 16, 16, 3)
+        ).persist(),
     )
-    timed("dd_sign_band_materialize", lambda: banded.count())
+    timed("dd_sign_band_materialize", lambda: counted.count())
     cand = timed(
         "dd_candidates",
-        lambda: _pairs_from_banded(
-            banded, config.LSH_MAX_BUCKET_SIZE
+        lambda: _pairs_from_counted(
+            counted, config.LSH_MAX_BUCKET_SIZE
         ).localCheckpoint(eager=True),
     )
     verified = timed(
@@ -146,12 +148,12 @@ def main() -> None:
     )
     timed(
         "dd_oversize",
-        lambda: banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > config.LSH_MAX_BUCKET_SIZE)
+        lambda: counted.filter(F.col("_n") > config.LSH_MAX_BUCKET_SIZE)
+        .select("band", "bucket", F.col("_n").cast("long").alias("n_docs"))
+        .distinct()
         .localCheckpoint(eager=True),
     )
-    banded.unpersist()
+    counted.unpersist()
     kept_drop = timed(
         "dd_cc_droplist",
         lambda: dedup_keep_representatives(

@@ -99,3 +99,4 @@ def test_all_oracles_match_at_sf01(spark):
         if _canon(sdf) != _canon(odf) or sorted(sdf.columns) != sorted(odf.columns):
             bad.append(name)
     assert not bad, bad
+
