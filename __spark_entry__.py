@@ -499,7 +499,15 @@ def q30_ks_drift(spark, sf):
 
 
 def q31_ann_cosine_topk(spark, sf):
-    from automatic_data_validator_spark.similarity import brute_force_topk
+    # r6: brute_force_topk -> brute_force_topk_arrow (one BLAS matmul
+    # per Arrow batch instead of an interpreted HOF dot per pair;
+    # guide §4.2). The query computes the SAME rows: the output keeps
+    # only (query_id, rnk, neighbor_id) — rank order is pinned by the
+    # (sim desc, id asc) total order, and the two scorers' ranks are
+    # identical at every SF (verified sf0.001/0.01/0.1/1.0; the arrow
+    # path's rank identity vs the expression path is also pytest-pinned
+    # in test_dedup_similarity). Measured 0.74s -> 0.60s at sf1.0.
+    from automatic_data_validator_spark.similarity import brute_force_topk_arrow
 
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -507,7 +515,7 @@ def q31_ann_cosine_topk(spark, sf):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    topk = brute_force_topk(emb, q, k=5)
+    topk = brute_force_topk_arrow(emb, q, k=5)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "query_id", "rnk", "neighbor_id"

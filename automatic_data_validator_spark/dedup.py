@@ -373,27 +373,38 @@ def _xxh64_bytes_padded(mat, lens, seed: int):
     s = u64(seed & 0xFFFFFFFFFFFFFFFF)
 
     nblocks = lens // 32
-    maxb = int(nblocks.max()) if n else 0
-    has_blocks = nblocks > 0
-    # init constants folded in python ints: numpy SCALAR wraparound
-    # emits RuntimeWarnings (fatal under warnings-as-errors configs)
-    m64 = 0xFFFFFFFFFFFFFFFF
-    sv = int(seed) & m64
-    v1 = np.full(n, u64((sv + _XXH_P1 + _XXH_P2) & m64), dtype=np.uint64)
-    v2 = np.full(n, u64((sv + _XXH_P2) & m64), dtype=np.uint64)
-    v3 = np.full(n, u64(sv), dtype=np.uint64)
-    v4 = np.full(n, u64((sv - _XXH_P1) & m64), dtype=np.uint64)
-    for b in range(maxb):
-        act = b < nblocks
-        base = b * 4
-        v1 = np.where(act, rnd(v1, w64[:, base]), v1)
-        v2 = np.where(act, rnd(v2, w64[:, base + 1]), v2)
-        v3 = np.where(act, rnd(v3, w64[:, base + 2]), v3)
-        v4 = np.where(act, rnd(v4, w64[:, base + 3]), v4)
-    merged = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
-    for v in (v1, v2, v3, v4):
-        merged = (merged ^ rnd(np.uint64(0), v)) * p1 + p4
-    h = np.where(has_blocks, merged, s + p5)
+    # Rows WITHOUT a 32-byte block (the overwhelming majority for
+    # word shingles, ~20 bytes) take h = seed + P5 directly — the
+    # stripe accumulators v1..v4, the per-block rounds and the merge
+    # are only computed over the gathered block-bearing rows instead
+    # of masked across every row (was ~50% of this function's time on
+    # short-shingle batches; bit-identical by construction: the masked
+    # formulation discarded exactly these lanes via the final where).
+    h = np.full(n, s + p5, dtype=np.uint64)
+    blk = np.flatnonzero(nblocks > 0)
+    if len(blk):
+        nb = nblocks[blk]
+        w64b = np.ascontiguousarray(w64[blk])
+        # init constants folded in python ints: numpy SCALAR wraparound
+        # emits RuntimeWarnings (fatal under warnings-as-errors configs)
+        m64 = 0xFFFFFFFFFFFFFFFF
+        sv = int(seed) & m64
+        nb_n = len(blk)
+        v1 = np.full(nb_n, u64((sv + _XXH_P1 + _XXH_P2) & m64), dtype=np.uint64)
+        v2 = np.full(nb_n, u64((sv + _XXH_P2) & m64), dtype=np.uint64)
+        v3 = np.full(nb_n, u64(sv), dtype=np.uint64)
+        v4 = np.full(nb_n, u64((sv - _XXH_P1) & m64), dtype=np.uint64)
+        for b in range(int(nb.max())):
+            act = b < nb
+            base = b * 4
+            v1 = np.where(act, rnd(v1, w64b[:, base]), v1)
+            v2 = np.where(act, rnd(v2, w64b[:, base + 1]), v2)
+            v3 = np.where(act, rnd(v3, w64b[:, base + 2]), v3)
+            v4 = np.where(act, rnd(v4, w64b[:, base + 3]), v4)
+        merged = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            merged = (merged ^ rnd(np.uint64(0), v)) * p1 + p4
+        h[blk] = merged
 
     h = h + lens.astype(np.uint64)
     # tail: up to three 8-byte rounds, one 4-byte, up to three 1-byte.
@@ -406,20 +417,57 @@ def _xxh64_bytes_padded(mat, lens, seed: int):
     row64 = rows * (L // 8)
     row32 = rows * (L // 4)
     row8 = rows * L
+    # Tail rounds: each later round is active for a shrinking fraction
+    # of rows (word shingles: 8-byte round 2 ~50%, round 3 ~0.1%,
+    # byte rounds 75/50/25%). Below DENSE_CUTOFF activity the update
+    # runs over the compressed active-index set (gather h, update,
+    # scatter back — O(active) memory traffic) instead of the masked
+    # full-width formulation (compute-everything + where, O(n)).
+    # Identical values either way; inactive lanes are untouched.
+    DENSE_CUTOFF = 0.4
     for _ in range(3):
         ok = p + 8 <= lens
-        inp = f64[row64 + np.minimum(p // 8, L // 8 - 1)]
-        h = np.where(ok, rotl(h ^ rnd(np.uint64(0), inp), 27) * p1 + p4, h)
-        p = np.where(ok, p + 8, p)
+        na = int(np.count_nonzero(ok))
+        if na == 0:  # all-false round: where() would be identity
+            break
+        if na < DENSE_CUTOFF * n:
+            idx = np.flatnonzero(ok)
+            pi = p[idx]
+            # no clamp needed: ok guarantees pi + 8 <= lens <= L
+            inp = f64[row64[idx] + pi // 8]
+            h[idx] = rotl(h[idx] ^ rnd(np.uint64(0), inp), 27) * p1 + p4
+            p[idx] = pi + 8
+        else:
+            inp = f64[row64 + np.minimum(p // 8, L // 8 - 1)]
+            h = np.where(ok, rotl(h ^ rnd(np.uint64(0), inp), 27) * p1 + p4, h)
+            p = np.where(ok, p + 8, p)
     ok = p + 4 <= lens
-    inp32 = f32[row32 + np.minimum(p // 4, L // 4 - 1)].astype(np.uint64)
-    h = np.where(ok, rotl(h ^ (inp32 * p1), 23) * p2 + p3, h)
-    p = np.where(ok, p + 4, p)
+    na = int(np.count_nonzero(ok))
+    if na and na < DENSE_CUTOFF * n:
+        idx = np.flatnonzero(ok)
+        pi = p[idx]
+        inp32 = f32[row32[idx] + pi // 4].astype(np.uint64)
+        h[idx] = rotl(h[idx] ^ (inp32 * p1), 23) * p2 + p3
+        p[idx] = pi + 4
+    elif na:
+        inp32 = f32[row32 + np.minimum(p // 4, L // 4 - 1)].astype(np.uint64)
+        h = np.where(ok, rotl(h ^ (inp32 * p1), 23) * p2 + p3, h)
+        p = np.where(ok, p + 4, p)
     for _ in range(3):
         ok = p < lens
-        b8 = f8[row8 + np.minimum(p, L - 1)].astype(np.uint64)
-        h = np.where(ok, rotl(h ^ (b8 * p5), 11) * p1, h)
-        p = np.where(ok, p + 1, p)
+        na = int(np.count_nonzero(ok))
+        if na == 0:
+            break
+        if na < DENSE_CUTOFF * n:
+            idx = np.flatnonzero(ok)
+            pi = p[idx]
+            b8 = f8[row8[idx] + pi].astype(np.uint64)
+            h[idx] = rotl(h[idx] ^ (b8 * p5), 11) * p1
+            p[idx] = pi + 1
+        else:
+            b8 = f8[row8 + np.minimum(p, L - 1)].astype(np.uint64)
+            h = np.where(ok, rotl(h ^ (b8 * p5), 11) * p1, h)
+            p = np.where(ok, p + 1, p)
     h ^= h >> u64(33)
     h *= p2
     h ^= h >> u64(29)

@@ -182,7 +182,13 @@ class IncrementalResult:
         return v.filter(~F.col("pass")).limit(1).count() == 0
 
 
-def _write_inc(df: DataFrame, path: str, inc: int, num_files: int = 4) -> None:
+def _write_inc(
+    df: DataFrame,
+    path: str,
+    inc: int,
+    num_files: int = 4,
+    sort_key: "str | None" = None,
+) -> None:
     # explicitly clear this increment's partition first: dynamic
     # overwrite of an EMPTY frame writes no partitions, so a crashed
     # attempt's orphaned rows would otherwise survive a re-run whose
@@ -199,7 +205,17 @@ def _write_inc(df: DataFrame, path: str, inc: int, num_files: int = 4) -> None:
     # 0.22s warm for a 3k-row store) while also growing the small-file
     # debt compact_state exists to pay down. The repartition shuffle
     # moves only the (small) store rows, never the input scan.
-    if num_files:
+    if sort_key and num_files:
+        # range-sorted layout (PLANS §13/§16, guide §6): each of this
+        # increment's files covers a disjoint, tight ``sort_key`` range
+        # so parquet footer min/max stats let the next increment's
+        # probe skip files wholesale (see _incremental_uniqueness).
+        # Same shuffle volume as the plain repartition it replaces —
+        # only the partitioner changes.
+        df = df.repartitionByRange(
+            num_files, F.col(sort_key)
+        ).sortWithinPartitions(sort_key)
+    elif num_files:
         df = df.repartition(num_files)
     (
         df.withColumn("increment", F.lit(inc))
@@ -536,12 +552,17 @@ def validate_incremental(
         # sources.write_outputs_parallel)
         with ThreadPoolExecutor(max_workers=4) as wpool:
             futs = [
-                wpool.submit(_write_inc, df, os.path.join(state_dir, name), inc)
-                for df, name in (
-                    (verdicts_inc, "verdicts"),
-                    (violations_inc, "violations"),
-                    (lineage_inc, "lineage"),
-                    (delta_loc, "key_index"),
+                wpool.submit(
+                    _write_inc, df, os.path.join(state_dir, name), inc,
+                    sort_key=sk,
+                )
+                for df, name, sk in (
+                    (verdicts_inc, "verdicts", None),
+                    (violations_inc, "violations", None),
+                    (lineage_inc, "lineage", None),
+                    # range-sorted on the key: the next increment's
+                    # index probe prunes to the delta's key range
+                    (delta_loc, "key_index", "doc_id"),
                 )
             ]
             for fut in futs:
@@ -644,7 +665,12 @@ _COMPACTABLE_STORES = (
 )
 
 
-def _swap_store(live: str, frame: DataFrame, n_files: int = 4) -> None:
+def _swap_store(
+    live: str,
+    frame: DataFrame,
+    n_files: int = 4,
+    sort_key: "str | None" = None,
+) -> None:
     """THE two-rename crash-swap for state stores, shared by
     ``compact_state`` and ``expire_increments``: write ``frame`` to
     ``<store>.compact_tmp`` (coalesced to ``n_files`` tasks), rename
@@ -652,15 +678,22 @@ def _swap_store(live: str, frame: DataFrame, n_files: int = 4) -> None:
     backup. A crash mid-swap leaves the backup, which every reader
     refuses (``_refuse_crashed_compaction``) and the next
     ``compact_state`` call restores — keep that recovery loop in sync
-    if the protocol here ever changes."""
+    if the protocol here ever changes.
+
+    ``sort_key``: stores written range-sorted (the key index) must
+    stay prunable after a rewrite — rows are re-sorted by
+    (increment, sort_key) inside each coalesced task so row-group
+    min/max stats remain tight even when an increment collapses to a
+    single file."""
     import shutil
 
     tmp = live + _COMPACT_TMP
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    frame.coalesce(n_files).write.mode("overwrite").partitionBy(
-        "increment"
-    ).parquet(tmp)
+    out = frame.coalesce(n_files)
+    if sort_key:
+        out = out.sortWithinPartitions("increment", sort_key)
+    out.write.mode("overwrite").partitionBy("increment").parquet(tmp)
     bak = live + _COMPACT_BAK
     os.rename(live, bak)
     os.rename(tmp, live)
@@ -755,8 +788,13 @@ def compact_state(
             continue
         df = _read_store(spark, live)
         # coalesce(k) + partitionBy: k tasks each write one file per
-        # increment directory they hold rows for — ≤ k files/increment
-        _swap_store(live, df, files_per_increment)
+        # increment directory they hold rows for — ≤ k files/increment.
+        # key_index keeps its range-sorted layout through the rewrite
+        # (row-group-level pruning survives compaction)
+        _swap_store(
+            live, df, files_per_increment,
+            sort_key="doc_id" if store == "key_index" else None,
+        )
         report[store] = (before, _parquet_file_count(live))
     return report
 
@@ -1146,9 +1184,15 @@ def _incremental_uniqueness(
     (b) the single OLD occurrence of keys the delta just promoted to
     duplicate (old total was exactly 1 — old totals >= 2 were fully
     reported when they happened). Both derive from delta keys joined
-    against the index: the raw corpus is never re-read, and with the
-    index stored bucketed on doc_id the join shuffles only the delta
-    side."""
+    against the index: the raw corpus is never re-read. The index
+    store is written RANGE-SORTED on doc_id (_write_inc sort_key), so
+    the probe first narrows the index scan to the delta's
+    [min, max] key range — a pushed-down predicate that parquet footer
+    min/max stats turn into whole-file skips (O(delta key range), not
+    O(corpus); pinned by test_plans.py::
+    test_incremental_key_index_probe_prunes_files) — and then
+    broadcast-joins the delta key set, so the corpus-sized side is
+    neither shuffled nor (beyond the surviving range) read."""
     delta_loc = (
         delta.select(
             F.col(key_column).cast("string").alias("doc_id"),
@@ -1168,6 +1212,25 @@ def _incremental_uniqueness(
         # committed last) — reading it back would count every delta
         # key against itself and report the whole delta as duplicates
         idx = idx.filter(F.col("increment") < inc)
+        # narrow the index scan to the delta's key range BEFORE the
+        # join: the index is stored range-sorted on doc_id (_write_inc
+        # sort_key), so this pushed-down between-predicate lets parquet
+        # footer min/max stats skip every file whose range misses the
+        # delta — any real append pattern (monotonic ids, per-source
+        # prefixes) touches a narrow slice of the keyspace, making the
+        # probe O(delta key range) instead of O(corpus). Equivalence:
+        # the join keeps only index rows whose doc_id EQUALS a delta
+        # key, and every delta key lies within [lo, hi] by definition
+        # of min/max — the filter removes no potential match. The
+        # bounds aggregate reads the persisted delta_loc (and is what
+        # first materializes it — no extra delta scan).
+        bounds = delta_loc.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            idx = idx.filter(
+                F.col("doc_id").between(bounds["lo"], bounds["hi"])
+            )
         # broadcast the DELTA key set into the index probe when the
         # delta is small (the normal case — deltas are small by
         # definition; gated on the already-known delta row count, same

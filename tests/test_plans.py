@@ -264,3 +264,66 @@ def test_sorted_table_range_scan_skips_files(spark, tmp_path):
     # unambiguously O(selectivity), not the shuffled copy's 100%.
     assert reads["sorted"] <= 3 * n // 8, reads
     assert reads["shuffled"] >= int(n * 0.95), reads
+
+
+def test_incremental_key_index_probe_prunes_files(spark, tmp_path):
+    """PLANS §13 wired (round-5 VERDICT directive #2): the incremental
+    key-location index is written RANGE-SORTED on doc_id and the
+    increment's uniqueness probe narrows the index scan to the delta's
+    [min, max] key range before joining. (a) Layout: a key-range
+    predicate disjoint from the stored keys reads ZERO records from
+    the index (footer min/max pruning; the predicate must reach the
+    scan as a PushedFilter). (b) Wiring: an increment whose keys are
+    disjoint from the corpus scans O(delta), never the corpus-sized
+    index."""
+    from automatic_data_validator_spark.incremental import (
+        validate_incremental,
+    )
+    from automatic_data_validator_spark.introspect import scan_records
+    from automatic_data_validator_spark.synth import (
+        make_documents, make_media_catalog,
+    )
+
+    corpus = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    n_corpus, n_delta = 40_000, 1_000
+    cat = make_media_catalog(spark, 200, seed=42)
+    make_documents(
+        spark, n_corpus, n_media=200, seed=42, num_partitions=2
+    ).write.mode("append").parquet(corpus)
+    validate_incremental(spark, corpus, state, catalog=cat)
+
+    # (a) the bootstrap index is laid out in disjoint doc_id ranges:
+    # a range above every stored key ("doc-*" / "doc-hot-*") prunes
+    # every file — 0 records read, and the predicate is pushed down
+    idx = spark.read.parquet(f"{state}/key_index")
+    pred = F.col("doc_id").between("zz-a", "zz-z")
+    got = {}
+    read_idx = scan_records(
+        spark, lambda: got.__setitem__("n", idx.filter(pred).count())
+    )
+    assert got["n"] == 0
+    assert read_idx == 0, (read_idx,)
+    plan = idx.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(doc_id,zz-a)" in pushed, pushed
+    assert "LessThanOrEqual(doc_id,zz-z)" in pushed, pushed
+
+    # (b) end to end: a disjoint-key append's whole increment reads a
+    # few passes over the DELTA plus stores — the 40k-row index scan
+    # is pruned to ~0 (unpruned it alone would add n_corpus records)
+    make_documents(
+        spark, n_delta, n_media=200, seed=43, num_partitions=1
+    ).withColumn(
+        "doc_id", F.concat(F.lit("zz-"), F.col("doc_id"))
+    ).write.mode("append").parquet(corpus)
+    spark.catalog.clearCache()
+    res = {}
+    read = scan_records(
+        spark,
+        lambda: res.__setitem__(
+            "r", validate_incremental(spark, corpus, state, catalog=cat)
+        ),
+    )
+    assert res["r"].delta_rows == n_delta
+    assert read <= 10 * n_delta + 5_000, (read,)
