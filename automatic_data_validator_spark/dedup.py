@@ -1194,6 +1194,35 @@ def _driver_union_find(rows) -> "dict":
     return {x: find(x) for x in parent}
 
 
+def _driver_labels(pairs: DataFrame, driver_edge_limit: int) -> "dict | None":
+    """{node: component} for pair sets at or below ``driver_edge_limit``
+    edges (one limit-bounded collect both counts and fetches), else
+    None — the shared driver fast path of ``connected_dup_groups`` and
+    ``dedup_keep_representatives``. Pairs with NULL ids fall back to
+    the distributed loop (the driver path does not replicate their
+    grouping semantics)."""
+    if not driver_edge_limit:
+        return None
+    head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
+    if len(head) > driver_edge_limit or not all(
+        r[0] is not None and r[1] is not None for r in head
+    ):
+        return None
+    return _driver_union_find([(r[0], r[1]) for r in head])
+
+
+def _label_schema(pairs: DataFrame):
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema["id_a"].dataType
+    return T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+
+
 def connected_dup_groups(
     pairs: DataFrame,
     max_iterations: int = 20,
@@ -1231,24 +1260,11 @@ def connected_dup_groups(
     The RETURNED frame is persisted; call ``.unpersist()`` when done —
     intermediate rounds and the edge list are released internally.
     """
-    if driver_edge_limit:
-        head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
-        if len(head) <= driver_edge_limit and all(
-            r[0] is not None and r[1] is not None for r in head
-        ):
-            labels = _driver_union_find([(r[0], r[1]) for r in head])
-            from pyspark.sql import types as T
-
-            id_type = pairs.schema["id_a"].dataType
-            schema = T.StructType(
-                [
-                    T.StructField("doc_id", id_type),
-                    T.StructField("component", id_type),
-                ]
-            )
-            return pairs.sparkSession.createDataFrame(
-                sorted(labels.items()), schema
-            ).persist()
+    labels = _driver_labels(pairs, driver_edge_limit)
+    if labels is not None:
+        return pairs.sparkSession.createDataFrame(
+            sorted(labels.items()), _label_schema(pairs)
+        ).persist()
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1367,14 +1383,29 @@ def dedup_keep_representatives(
     unpersist, and dropping the cache without materializing first
     would make later actions replay the iterative label plan
     exponentially (each round references the previous one twice)."""
-    comps = connected_dup_groups(pairs)
-    drop_list = comps.filter(
-        F.col("doc_id") != F.col("component")
-    ).localCheckpoint(eager=True)
-    comps.unpersist()
-    # count-gated broadcast standard as the other verify joins; the
-    # count reads the checkpointed blocks
-    n_drop = drop_list.count()
+    labels = _driver_labels(pairs, config.CC_DRIVER_EDGE_LIMIT)
+    if labels is not None:
+        # driver fast path (r6): the union-find already holds every
+        # label, so the drop list — exactly the non-representative
+        # rows — is built directly, skipping the distributed comps
+        # frame's persist/filter/count round trips (3 scheduling-bound
+        # jobs at post-verify pair sizes). Identical rows: the
+        # distributed path's filter(doc_id != component) over the same
+        # fixpoint labels.
+        drop_rows = sorted((x, r) for x, r in labels.items() if x != r)
+        drop_list = df.sparkSession.createDataFrame(
+            drop_rows, _label_schema(pairs)
+        ).localCheckpoint(eager=True)
+        n_drop = len(drop_rows)
+    else:
+        comps = connected_dup_groups(pairs)
+        drop_list = comps.filter(
+            F.col("doc_id") != F.col("component")
+        ).localCheckpoint(eager=True)
+        comps.unpersist()
+        # count-gated broadcast standard as the other verify joins; the
+        # count reads the checkpointed blocks
+        n_drop = drop_list.count()
     drop_side = drop_list.select(F.col("doc_id").alias(id_col))
     drop_side = (
         F.broadcast(drop_side)

@@ -429,18 +429,25 @@ def validate_incremental(
             return rr_v, rr_viol, lin
 
         def uniq_task():
+            import time as _time
+
             # uniqueness vs the key-location index (no corpus rescan)
+            t0 = _time.perf_counter()
             uniq_v, uniq_viol, d_loc = _incremental_uniqueness(
                 spark, delta, state_dir, key_column, inc, part_totals
             )
             lin = lineage_from_verdicts(
                 spark, [tuple(r) for r in uniq_v.collect()],
                 "uniqueness", snapshot_id, rule_version,
+                duration_s=round(_time.perf_counter() - t0, 3),
             )
             return uniq_v, uniq_viol, lin, d_loc
 
         def ref_task():
+            import time as _time
+
             # referential over the delta only (catalog is static)
+            t0 = _time.perf_counter()
             ref_v, ref_viol = refcheck.referential_check(
                 delta, catalog, partition_totals=dict(part_totals)
             )
@@ -450,14 +457,18 @@ def validate_incremental(
             lin = lineage_from_verdicts(
                 spark, [tuple(r) for r in ref_v.collect()],
                 "referential", snapshot_id, rule_version,
+                duration_s=round(_time.perf_counter() - t0, 3),
             )
             return ref_v, ref_viol, lin
 
         def drift_task():
+            import time as _time
+
             # distribution drift: sketch the DELTA, merge digests — the
             # CORPUS-level digest is the merge of every increment's
             # digests (t-digest merge is associative); old increments
             # are never re-sketched, never re-read
+            t0 = _time.perf_counter()
             d_v, d_viol = _incremental_drift(
                 spark, delta, state_dir, inc, drift_baseline,
                 drift_signals, drift_ks_threshold, drift_psi_threshold,
@@ -466,6 +477,7 @@ def validate_incremental(
             lin = lineage_from_verdicts(
                 spark, [tuple(r) for r in d_v.collect()],
                 "drift", snapshot_id, rule_version,
+                duration_s=round(_time.perf_counter() - t0, 3),
             )
             return d_v, d_viol, lin
 

@@ -206,9 +206,23 @@ def main() -> None:
     make_documents(spark, delta_docs, n_media=n_media, seed=99).withColumn(
         "doc_id", F.concat(F.lit("inc1-"), F.col("doc_id"))
     ).write.mode("append").parquet(f"{work}/documents")
-    timed("inc_delta",
-          lambda: validate_incremental(spark, f"{work}/documents",
-                                       f"{work}/inc_state", catalog=catalog))
+    ires = timed(
+        "inc_delta",
+        lambda: validate_incremental(spark, f"{work}/documents",
+                                     f"{work}/inc_state", catalog=catalog))
+    # attribution (round-5 VERDICT #6): per-phase durations of THIS
+    # increment from its lineage rows, so the fixed-overhead floor is
+    # named instead of being one opaque number. Phases run
+    # concurrently, so the components sum past the wall clock.
+    for r in (
+        ires.lineage.filter(F.col("increment") == ires.increment)
+        .select("phase", "duration_s").distinct().collect()
+    ):
+        if r["duration_s"] is not None:
+            out[f"inc_phase_{r['phase']}"] = max(
+                out.get(f"inc_phase_{r['phase']}", 0.0),
+                float(r["duration_s"]),
+            )
 
     print(json.dumps(out), flush=True)
     spark.stop()
